@@ -1,0 +1,121 @@
+"""Separable convolution in physical (mm) units.
+
+The reference convolves each axis with a FIR filter whose taps are spaced
+``unit`` mm apart, sampling the image with 1-D linear interpolation at
+fractional voxel positions, and mirrors sampling coordinates at the
+boundaries (reference imutil.c:2274-2393, apply_Sep_FIR_filter
+imutil.c:3459-3544).
+
+Because that operation is *linear* in the input, each 1-D pass is exactly a
+banded n x n matrix applied along one axis. We precompute that matrix on the
+host (float64 accumulation of float32-faithful per-sample weights) and apply
+it as a dense matmul on the MXU. Interior rows are the shift-invariant
+"dense equivalent kernel" (each tap splits into two adjacent voxels by its
+linear-interpolation fraction); boundary rows encode the reference's exact
+mirror formula, including its 0.1-voxel epsilon and truncation-toward-zero
+index semantics.
+
+This is the TPU-idiomatic replacement for the reference's OpenMP
+convolve_sep_gen: one matmul per axis, fully fused by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CONV_EPS
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_matrix_cached(taps_key, unit: float, unit_dim: float, n: int) -> np.ndarray:
+    taps = np.asarray(taps_key, dtype=np.float32)
+    return _make_conv_matrix(taps, unit, unit_dim, n)
+
+
+def conv_matrix(taps: np.ndarray, unit: float, unit_dim: float, n: int) -> np.ndarray:
+    """Banded convolution matrix W (n x n, float32): out = W @ signal.
+
+    Args:
+      taps: float32 filter taps, odd length 2*hw+1.
+      unit: physical spacing of the filter taps (mm).
+      unit_dim: physical voxel spacing of the image along this axis (mm).
+      n: axis length.
+    """
+    return _conv_matrix_cached(tuple(np.asarray(taps, np.float32).tolist()),
+                               float(unit), float(unit_dim), int(n))
+
+
+def _make_conv_matrix(taps: np.ndarray, unit: float, unit_dim: float,
+                      n: int) -> np.ndarray:
+    hw = (len(taps) - 1) // 2
+    # unit_factor is computed in float32 in the reference (imutil.c:2286-2287)
+    uf = np.float32(unit / unit_dim)
+    dim_end = n - 1
+    d = np.arange(-hw, hw + 1, dtype=np.float32)
+    step = d * uf                                    # float32, like the C code
+    x = np.arange(n, dtype=np.float32)
+    coords = x[:, None] - step[None, :]              # (n, ntaps), float32
+
+    # Mirror boundaries exactly as convolve_sep_gen's second pass
+    # (imutil.c:2375-2382). Conditions use truncation toward zero.
+    lo0 = np.trunc(coords).astype(np.int64)
+    neg = lo0 < 0
+    coords = np.where(neg, (-coords).astype(np.float32), coords)
+    hi = np.logical_and(~neg, np.trunc(coords).astype(np.int64) >= dim_end)
+    coords = np.where(
+        hi,
+        (np.float32(2.0 * dim_end) - coords - np.float32(CONV_EPS)).astype(np.float32),
+        coords)
+
+    lo = np.trunc(coords).astype(np.int64)
+    frac = (coords - lo.astype(np.float32)).astype(np.float32)
+    # Clamp for safety (the reference reads out of bounds here; only reachable
+    # for filters wider than the image, which the pyramid geometry forbids).
+    lo_c = np.clip(lo, 0, n - 1)
+    hi_c = np.clip(lo + 1, 0, n - 1)
+
+    W = np.zeros((n, n), dtype=np.float64)
+    rows = np.repeat(np.arange(n), len(taps))
+    t64 = taps.astype(np.float64)[None, :] * np.ones((n, 1))
+    np.add.at(W, (rows, lo_c.ravel()),
+              (t64 * (1.0 - frac.astype(np.float64))).ravel())
+    np.add.at(W, (rows, hi_c.ravel()),
+              (t64 * frac.astype(np.float64)).ravel())
+    return W.astype(np.float32)
+
+
+def unit_half_width(taps_len: int, unit: float, unit_dim: float) -> int:
+    """Half-width of the convolution's input footprint in voxels
+    (imutil.c:2288-2289)."""
+    hw = (taps_len - 1) // 2
+    uf = np.float32(unit / unit_dim)
+    return int(np.ceil(np.float32(hw) * uf))
+
+
+def conv_axis(vol: jax.Array, W: jax.Array | np.ndarray, axis: int) -> jax.Array:
+    """Apply a 1-D convolution matrix along ``axis`` of ``vol``."""
+    W = jnp.asarray(W, dtype=vol.dtype)
+    out = jnp.tensordot(W, vol, axes=([1], [axis]),
+                        precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def conv_sep(vol: jax.Array, taps: np.ndarray, unit: float,
+             units: tuple[float, float, float]) -> jax.Array:
+    """Full separable pass over (z, y, x)-ordered volume.
+
+    Matches apply_Sep_FIR_filter's dimension order x, then y, then z
+    (imutil.c:3494-3526). ``units`` is (ux, uy, uz).
+    """
+    nz, ny, nx = vol.shape[-3], vol.shape[-2], vol.shape[-1]
+    Wx = conv_matrix(taps, unit, units[0], nx)
+    Wy = conv_matrix(taps, unit, units[1], ny)
+    Wz = conv_matrix(taps, unit, units[2], nz)
+    vol = conv_axis(vol, Wx, vol.ndim - 1)
+    vol = conv_axis(vol, Wy, vol.ndim - 2)
+    vol = conv_axis(vol, Wz, vol.ndim - 3)
+    return vol

@@ -1,0 +1,48 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh with x64."""
+
+import os
+import sys
+
+# Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    from tests import oracle as orc_mod
+    o = orc_mod.get()
+    if o is None:
+        pytest.skip("reference oracle unavailable")
+    return o
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_blob_volume(shape_zyx=(32, 32, 32), n_blobs=30, seed=7,
+                     dtype=np.float32):
+    """Deterministic smooth synthetic volume: sum of Gaussian blobs."""
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = shape_zyx
+    z, y, x = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                          indexing="ij")
+    vol = np.zeros(shape_zyx, np.float64)
+    for _ in range(n_blobs):
+        cz, cy, cx = rng.uniform(0, nz), rng.uniform(0, ny), rng.uniform(0, nx)
+        sig = rng.uniform(1.5, max(4.0, min(shape_zyx) / 6))
+        amp = rng.uniform(-1.0, 1.0)
+        vol += amp * np.exp(-((z - cz) ** 2 + (y - cy) ** 2 + (x - cx) ** 2)
+                            / (2 * sig * sig))
+    return vol.astype(dtype)

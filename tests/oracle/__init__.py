@@ -1,0 +1,176 @@
+"""ctypes wrapper around the reference-library test oracle.
+
+Builds the reference C libraries (from /root/reference) and the oracle shim
+on demand into /tmp/sift3d_oracle. Tests that need the oracle should call
+get_oracle() and skip if it returns None.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+REF_DIR = os.environ.get("SIFT3D_REF_DIR", "/root/reference")
+BUILD_DIR = pathlib.Path(os.environ.get("SIFT3D_ORACLE_BUILD",
+                                        "/tmp/sift3d_oracle"))
+_ORACLE_C = pathlib.Path(__file__).with_name("oracle.c")
+
+_lib = None
+_tried = False
+
+
+def _build() -> pathlib.Path | None:
+    so = BUILD_DIR / "liboracle.so"
+    ref_build = BUILD_DIR / "refbuild"
+    if so.exists() and so.stat().st_mtime >= _ORACLE_C.stat().st_mtime:
+        return so
+    if not pathlib.Path(REF_DIR).is_dir():
+        return None
+    BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    ref_build.mkdir(parents=True, exist_ok=True)
+    lapack = "/lib/x86_64-linux-gnu/liblapack.so.3"
+    blas = "/lib/x86_64-linux-gnu/libblas.so.3"
+    try:
+        if not (ref_build / "lib" / "libsift3D.so").exists():
+            subprocess.run(
+                ["cmake", REF_DIR, "-DCMAKE_BUILD_TYPE=Release",
+                 "-DBUILD_Matlab=OFF", "-DBUILD_EXAMPLES=OFF", "-G", "Ninja",
+                 f"-DBLAS_LIBRARIES={blas}",
+                 f"-DLAPACK_LIBRARIES={lapack};{blas}"],
+                cwd=ref_build, check=True, capture_output=True)
+            subprocess.run(["ninja"], cwd=ref_build, check=True,
+                           capture_output=True)
+        subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC",
+             f"-I{REF_DIR}/imutil", f"-I{REF_DIR}/sift3d", f"-I{REF_DIR}/reg",
+             str(_ORACLE_C), "-o", str(so),
+             f"-L{ref_build}/lib", "-lreg", "-lsift3D", "-limutil",
+             lapack, blas, "-lz", "-lm", "-fopenmp",
+             f"-Wl,-rpath,{ref_build}/lib"],
+            check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return so
+
+
+def get_oracle():
+    """Return the loaded oracle library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    c = ctypes
+    lib.orc_detect.restype = c.c_int
+    lib.orc_detect.argtypes = [f32p] + [c.c_int] * 3 + [c.c_double] * 5 + \
+        [f64p, c.c_int]
+    lib.orc_gpyr_dims.restype = c.c_int
+    lib.orc_gpyr_dims.argtypes = [c.c_int, c.c_int,
+                                  np.ctypeslib.ndpointer(np.int32)]
+    lib.orc_get_gpyr.restype = c.c_int
+    lib.orc_get_gpyr.argtypes = [c.c_int, c.c_int, f32p]
+    lib.orc_get_dog.restype = c.c_int
+    lib.orc_get_dog.argtypes = [c.c_int, c.c_int, f32p]
+    lib.orc_num_octaves.restype = c.c_int
+    lib.orc_extract.restype = c.c_int
+    lib.orc_extract.argtypes = [f64p, c.c_int]
+    lib.orc_gauss_blur.restype = c.c_int
+    lib.orc_gauss_blur.argtypes = [f32p] + [c.c_int] * 3 + [c.c_double] * 5 + \
+        [f32p]
+    lib.orc_match.restype = c.c_int
+    lib.orc_match.argtypes = [f32p, c.c_int, f32p, c.c_int, c.c_double, i32p]
+    lib.orc_ransac.restype = c.c_int
+    lib.orc_ransac.argtypes = [f64p, f64p, c.c_int, c.c_double, c.c_int,
+                               c.c_uint, f64p]
+    _lib = lib
+    return _lib
+
+
+class Oracle:
+    """Convenience numpy-level interface over the ctypes oracle."""
+
+    def __init__(self, lib):
+        self.lib = lib
+
+    def detect(self, vol_zyx: np.ndarray, units=(1.0, 1.0, 1.0),
+               peak_thresh=0.1, corner_thresh=0.4, cap=100000):
+        nz, ny, nx = vol_zyx.shape
+        out = np.zeros((cap, 14), np.float64)
+        n = self.lib.orc_detect(
+            np.ascontiguousarray(vol_zyx, np.float32), nx, ny, nz,
+            units[0], units[1], units[2], peak_thresh, corner_thresh,
+            out, cap)
+        if n < 0:
+            raise RuntimeError("orc_detect failed")
+        return out[:n]
+
+    def gpyr_level(self, o, s):
+        dims = np.zeros(3, np.int32)
+        if self.lib.orc_gpyr_dims(o, s, dims) != 0:
+            raise ValueError(f"no gpyr level ({o},{s})")
+        nx, ny, nz = (int(d) for d in dims)
+        out = np.zeros(nz * ny * nx, np.float32)
+        self.lib.orc_get_gpyr(o, s, out)
+        return out.reshape(nz, ny, nx)
+
+    def dog_level(self, o, s):
+        dims = np.zeros(3, np.int32)
+        if self.lib.orc_gpyr_dims(o, s, dims) != 0:
+            raise ValueError(f"no level ({o},{s})")
+        nx, ny, nz = (int(d) for d in dims)
+        out = np.zeros(nz * ny * nx, np.float32)
+        self.lib.orc_get_dog(o, s, out)
+        return out.reshape(nz, ny, nx)
+
+    def extract(self, cap=100000):
+        out = np.zeros((cap, 772), np.float64)
+        n = self.lib.orc_extract(out, cap)
+        if n < 0:
+            raise RuntimeError("orc_extract failed")
+        return out[:n]
+
+    def gauss_blur(self, vol_zyx, units=(1.0, 1.0, 1.0), sigma=1.6, unit=1.0):
+        nz, ny, nx = vol_zyx.shape
+        out = np.zeros(nz * ny * nx, np.float32)
+        r = self.lib.orc_gauss_blur(
+            np.ascontiguousarray(vol_zyx, np.float32), nx, ny, nz,
+            units[0], units[1], units[2], sigma, unit, out)
+        if r < 0:
+            raise RuntimeError("orc_gauss_blur failed")
+        return out.reshape(nz, ny, nx)
+
+    def match(self, d1: np.ndarray, d2: np.ndarray, nn_thresh=0.8):
+        n1, n2 = len(d1), len(d2)
+        out = np.zeros(n1, np.int32)
+        r = self.lib.orc_match(
+            np.ascontiguousarray(d1, np.float32), n1,
+            np.ascontiguousarray(d2, np.float32), n2, nn_thresh, out)
+        if r != 0:
+            raise RuntimeError("orc_match failed")
+        return out
+
+    def ransac(self, src: np.ndarray, ref: np.ndarray, err_thresh=5.0,
+               num_iter=500, seed=1):
+        A = np.zeros((3, 4), np.float64)
+        r = self.lib.orc_ransac(
+            np.ascontiguousarray(src, np.float64),
+            np.ascontiguousarray(ref, np.float64), len(src),
+            err_thresh, num_iter, seed, A)
+        if r != 0:
+            raise RuntimeError("orc_ransac failed (no model found?)")
+        return A
+
+
+def get() -> Oracle | None:
+    lib = get_oracle()
+    return Oracle(lib) if lib is not None else None
