@@ -1,0 +1,75 @@
+"""DoG extrema detection.
+
+Reproduces detect_extrema (reference sift3d/sift.c:1074-1212): per DoG level,
+a voxel at (x, y, z) in [1, n-2]^3 is a keypoint candidate iff
+
+  - |value| strictly exceeds peak_thresh * max|level|, and
+  - it is a strict maximum (or strict minimum) over its 6-neighborhood in the
+    current level plus the center voxels of the previous and next levels
+    (the default non-CUBOID_EXTREMA comparison set, sift.c:1138-1150).
+
+Candidates are emitted in the reference's scan order (z, then y, then x;
+immacros.h:66-69) via an order-preserving cumsum compaction into a
+fixed-capacity index buffer — the TPU-idiomatic replacement for the
+reference's dynamically grown keypoint slab.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def level_extrema(prev: jax.Array, cur: jax.Array, nxt: jax.Array,
+                  peak_thresh: float, capacity: int):
+    """Find extrema on one DoG level.
+
+    Args:
+      prev, cur, nxt: (nz, ny, nx) DoG levels s-1, s, s+1.
+      peak_thresh: relative threshold.
+      capacity: max keypoints returned.
+
+    Returns:
+      (zyx, count): zyx (capacity, 3) int32 voxel coords (rows >= count are
+      zero padding), count () int32 (clamped to capacity).
+    """
+    nz, ny, nx = cur.shape
+    dogmax = jnp.max(jnp.abs(cur))
+    t = jnp.asarray(peak_thresh, cur.dtype) * dogmax
+
+    c = cur[1:-1, 1:-1, 1:-1]
+    peak_ok = (c > t) | (c < -t)
+
+    def nbrs(a):
+        # 6-connected neighbors of the interior block
+        return (a[1:-1, 1:-1, 2:], a[1:-1, 1:-1, :-2],
+                a[1:-1, 2:, 1:-1], a[1:-1, :-2, 1:-1],
+                a[:-2, 1:-1, 1:-1], a[2:, 1:-1, 1:-1])
+
+    cur_n = nbrs(cur)
+    p_c = prev[1:-1, 1:-1, 1:-1]
+    n_c = nxt[1:-1, 1:-1, 1:-1]
+
+    is_max = (c > p_c) & (c > n_c)
+    is_min = (c < p_c) & (c < n_c)
+    for nb in cur_n:
+        is_max &= c > nb
+        is_min &= c < nb
+    mask = peak_ok & (is_max | is_min)
+
+    # Order-preserving compaction in (z, y, x) scan order.
+    flat = mask.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    count = jnp.minimum(pos[-1] + 1, capacity).astype(jnp.int32)
+    dest = jnp.where(flat & (pos < capacity), pos, capacity)
+    src_idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    buf = jnp.zeros(capacity + 1, jnp.int32).at[dest].set(src_idx)[:capacity]
+
+    inner_ny, inner_nx = ny - 2, nx - 2
+    zz = buf // (inner_ny * inner_nx) + 1
+    yy = (buf // inner_nx) % inner_ny + 1
+    xx = buf % inner_nx + 1
+    zyx = jnp.stack([zz, yy, xx], axis=-1)
+    in_range = jnp.arange(capacity) < count
+    zyx = jnp.where(in_range[:, None], zyx, 0)
+    return zyx, count

@@ -3,8 +3,9 @@
 import os
 import sys
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import. Force CPU: the ambient environment may
+# point JAX_PLATFORMS at the tunneled TPU, which is far too slow for tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +13,12 @@ if "host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The environment's axon TPU plugin force-prepends itself to jax_platforms;
+# override after import so tests really run on the virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -31,17 +38,19 @@ def rng():
     return np.random.default_rng(42)
 
 
-def make_blob_volume(shape_zyx=(32, 32, 32), n_blobs=30, seed=7,
+def make_blob_volume(shape_zyx=(32, 32, 32), n_blobs=None, seed=7,
                      dtype=np.float32):
     """Deterministic smooth synthetic volume: sum of Gaussian blobs."""
     rng = np.random.default_rng(seed)
     nz, ny, nx = shape_zyx
+    if n_blobs is None:
+        n_blobs = max(40, nz * ny * nx // 400)
     z, y, x = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
                           indexing="ij")
     vol = np.zeros(shape_zyx, np.float64)
     for _ in range(n_blobs):
         cz, cy, cx = rng.uniform(0, nz), rng.uniform(0, ny), rng.uniform(0, nx)
-        sig = rng.uniform(1.5, max(4.0, min(shape_zyx) / 6))
+        sig = rng.uniform(1.2, 4.0)
         amp = rng.uniform(-1.0, 1.0)
         vol += amp * np.exp(-((z - cz) ** 2 + (y - cy) ** 2 + (x - cx) ** 2)
                             / (2 * sig * sig))
