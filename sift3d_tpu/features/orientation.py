@@ -18,9 +18,9 @@ sift3d/sift.c:1259-1514):
   sift.c:1331-1342).
 
 TPU mapping: all keypoints of one pyramid level share the same scale, hence
-the same fixed window box — so the sphere gather becomes a batched
-dynamic-slice from a zero-padded level, and the reductions become masked
-sums. Eigendecomposition runs batched over keypoints.
+the same fixed window box - so the sphere gather becomes a batched clamped
+dynamic-slice and the reductions become masked sums. Eigendecomposition is
+a batched closed-form 3x3 solve.
 """
 
 from __future__ import annotations
@@ -33,6 +33,8 @@ import numpy as np
 
 from ..config import MAX_EIG_RATIO, ORI_GRAD_THRESH, ORI_SIG_FCTR, ORI_RAD_FCTR
 from ..dtypes import f64
+from ..ops.eig import eigh3x3
+from .windows import gather_window, window_extent
 
 
 def window_radii(rad: float, units: tuple[float, float, float],
@@ -42,42 +44,41 @@ def window_radii(rad: float, units: tuple[float, float, float],
                  for u in units)
 
 
-def _window_terms(padded, zyx, radii, units, rad, sigma, dims):
-    """Gather one keypoint's window and compute masked per-voxel terms.
+def _window_terms(level, zyx, radii, cores, units, rad, sigma):
+    """Gather one keypoint's window and compute masked tensor sums.
 
-    Returns (A(3,3) f64, vd_win(3,) f32, any potential voxel out of image).
+    Returns (A(6,) f64 upper-triangle terms, vd_win(3,) f32).
     """
-    Rx, Ry, Rz = radii
-    nx, ny, nz = dims
+    nz, ny, nx = level.shape
     ux = np.float32(units[0]); uy = np.float32(units[1])
     uz = np.float32(units[2])
-    z, y, x = zyx[0], zyx[1], zyx[2]
-    win = jax.lax.dynamic_slice(
-        padded, (z, y, x), (2 * Rz + 3, 2 * Ry + 3, 2 * Rx + 3))
+    win, (sz, sy, sx) = gather_window(
+        level, (zyx[0], zyx[1], zyx[2]), radii, cores)
+    cz, cy, cx = cores
 
-    # Window voxel coordinates relative to the keypoint
-    dz = jnp.arange(-Rz, Rz + 1, dtype=jnp.int32)[:, None, None]
-    dy = jnp.arange(-Ry, Ry + 1, dtype=jnp.int32)[None, :, None]
-    dx = jnp.arange(-Rx, Rx + 1, dtype=jnp.int32)[None, None, :]
-    zg = z + dz; yg = y + dy; xg = x + dx
-    in_im = ((xg >= 1) & (xg <= nx - 2) & (yg >= 1) & (yg <= ny - 2) &
-             (zg >= 1) & (zg <= nz - 2))
+    iz = (sz + jnp.arange(cz, dtype=jnp.int32))[:, None, None]
+    iy = (sy + jnp.arange(cy, dtype=jnp.int32))[None, :, None]
+    ix = (sx + jnp.arange(cx, dtype=jnp.int32))[None, None, :]
+    Rz, Ry, Rx = radii
+    in_box = ((ix >= zyx[2] - Rx) & (ix <= zyx[2] + Rx) &
+              (iy >= zyx[1] - Ry) & (iy <= zyx[1] + Ry) &
+              (iz >= zyx[0] - Rz) & (iz <= zyx[0] + Rz))
 
-    ddx = (dx.astype(jnp.float32) * ux)
-    ddy = (dy.astype(jnp.float32) * uy)
-    ddz = (dz.astype(jnp.float32) * uz)
+    ddx = (ix - zyx[2]).astype(jnp.float32) * ux
+    ddy = (iy - zyx[1]).astype(jnp.float32) * uy
+    ddz = (iz - zyx[0]).astype(jnp.float32) * uz
     sq_dist = ddx * ddx + ddy * ddy + ddz * ddz
     rad32 = jnp.float32(rad)
-    mask = in_im & (sq_dist <= rad32 * rad32)
+    mask = in_box & (sq_dist <= rad32 * rad32)
 
     # Central-difference gradient with physical-unit correction
     # (IM_GET_GRAD_ISO: 0.5f*(I[+1]-I[-1]) * (1.0f/u)).
-    inv_ux = np.float32(1.0) / ux
-    inv_uy = np.float32(1.0) / uy
-    inv_uz = np.float32(1.0) / uz
-    gx = jnp.float32(0.5) * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) * inv_ux
-    gy = jnp.float32(0.5) * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) * inv_uy
-    gz = jnp.float32(0.5) * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) * inv_uz
+    gx = jnp.float32(0.5) * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) \
+        * (np.float32(1.0) / ux)
+    gy = jnp.float32(0.5) * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) \
+        * (np.float32(1.0) / uy)
+    gz = jnp.float32(0.5) * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) \
+        * (np.float32(1.0) / uz)
 
     sig32 = jnp.float32(sigma)
     w = jnp.exp(jnp.float32(-0.5) * sq_dist / (sig32 * sig32))
@@ -95,7 +96,7 @@ def _window_terms(padded, zyx, radii, units, rad, sigma, dims):
 
 def assign_orientations_level(level: jax.Array, zyx: jax.Array,
                               sd: float, units: tuple[float, float, float],
-                              corner_thresh: float, chunk: int = 256):
+                              corner_thresh: float, chunk: int = 128):
     """Assign orientations to all keypoints of one level.
 
     Args:
@@ -112,19 +113,21 @@ def assign_orientations_level(level: jax.Array, zyx: jax.Array,
     nz, ny, nx = level.shape
     sigma = ORI_SIG_FCTR * sd
     rad = sigma * ORI_RAD_FCTR
-    Rx, Ry, Rz = window_radii(rad, units)
-    padded = jnp.pad(level, ((Rz + 1, Rz + 1), (Ry + 1, Ry + 1),
-                             (Rx + 1, Rx + 1)))
+    radii = window_radii(rad, units)
+    Rx, Ry, Rz = radii
+    cores = (window_extent(Rz, nz, True), window_extent(Ry, ny, True),
+             window_extent(Rx, nx, True))
 
     def one(row):
-        return _window_terms(padded, row, (Rx, Ry, Rz), units, rad, sigma,
-                             (nx, ny, nz))
+        return _window_terms(level, row, (Rz, Ry, Rx), cores, units, rad,
+                             sigma)
 
     K = zyx.shape[0]
+    chunk = min(chunk, K)
     pad_k = (-K) % chunk
-    zyx_p = jnp.concatenate([zyx, jnp.zeros((pad_k, 3), zyx.dtype)])
-    A6, vd = jax.lax.map(jax.vmap(one),
-                         zyx_p.reshape(-1, chunk, 3))
+    zyx_p = jnp.concatenate(
+        [zyx, jnp.ones((pad_k, 3), zyx.dtype)])
+    A6, vd = jax.lax.map(jax.vmap(one), zyx_p.reshape(-1, chunk, 3))
     A6 = A6.reshape(-1, 6)[:K]
     vd = vd.reshape(-1, 3)[:K]
     return orientations_from_tensor(A6, vd, corner_thresh)
@@ -138,7 +141,7 @@ def orientations_from_tensor(A6: jax.Array, vd: jax.Array,
         jnp.stack([axx, axy, axz], -1),
         jnp.stack([axy, ayy, ayz], -1),
         jnp.stack([axz, ayz, azz], -1)], -2)
-    lam, Q = jnp.linalg.eigh(A)     # ascending eigenvalues
+    lam, Q = eigh3x3(A)             # ascending eigenvalues
 
     grad_ok = (vd[:, 0] * vd[:, 0] + vd[:, 1] * vd[:, 1] +
                vd[:, 2] * vd[:, 2]) >= jnp.float32(ORI_GRAD_THRESH)

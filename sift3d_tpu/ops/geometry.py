@@ -1,0 +1,128 @@
+"""Icosahedral geometry for gradient-histogram binning.
+
+Builds the same regular icosahedron as the reference (12 vertices from
+golden-ratio rectangles inscribed in the unit sphere, 20 triangular faces
+with outward-corrected winding; reference sift3d/sift.c:215-326), and a
+fully vectorized Moller-Trumbore ray/triangle intersection (cart2bary,
+sift.c:335-394) that evaluates all 20 faces at once and selects the first
+intersecting face - matching the reference's sequential scan order
+(icos_hist_bin, sift.c:1646-1683).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import BARY_EPS, GOLDEN_RATIO, ICOS_NFACES
+
+
+@functools.lru_cache(maxsize=1)
+def icosahedron():
+    """Returns (verts (12,3) f32 unit, faces (20,3) i32 vertex indices).
+
+    Vertex/face tables and winding correction match init_geometry
+    (sift.c:224-323) so histogram bin indices line up with the reference.
+    """
+    gr = GOLDEN_RATIO
+    verts = np.array([
+        [0, 1, gr], [0, -1, gr], [0, 1, -gr], [0, -1, -gr],
+        [1, gr, 0], [-1, gr, 0], [1, -gr, 0], [-1, -gr, 0],
+        [gr, 0, 1], [-gr, 0, 1], [gr, 0, -1], [-gr, 0, -1]],
+        dtype=np.float64)
+    faces = np.array([
+        [0, 1, 8], [0, 8, 4], [0, 4, 5], [0, 5, 9], [0, 9, 1],
+        [1, 6, 8], [8, 6, 10], [8, 10, 4], [4, 10, 2], [4, 2, 5],
+        [5, 2, 11], [5, 11, 9], [9, 11, 7], [9, 7, 1], [1, 7, 6],
+        [3, 6, 7], [3, 7, 11], [3, 11, 2], [3, 2, 10], [3, 10, 6]],
+        dtype=np.int32)
+    # Normalize each vertex *as used per-face* with float32 arithmetic, as
+    # the reference does (CVEC_L2_NORM / CVEC_SCALE are float, sift.c:292-295)
+    v32 = verts.astype(np.float32)
+    norms = np.sqrt((v32 * v32).sum(-1, dtype=np.float32)).astype(np.float32)
+    v32 = (v32 * (np.float32(1.0) / norms)[:, None]).astype(np.float32)
+
+    # Fix winding so the face normal (v2-v1) x (v1-v0) points outward; the
+    # reference swaps the first two *vertex positions* when the normal faces
+    # inward (sift.c:298-314) but leaves tri->idx untouched, so barycentric
+    # weight j is always accumulated into bin faces[i][j] of the ORIGINAL
+    # ordering (MESH_HIST_GET, sift.c:61-66). We reproduce that exactly:
+    # `geom` is the vertex order used for intersection/barycentrics, `faces`
+    # (unswapped) is the bin-index order.
+    geom = faces.copy()
+    for i in range(ICOS_NFACES):
+        tri = v32[geom[i]]
+        n = np.cross(tri[2] - tri[1], tri[1] - tri[0])
+        if np.dot(n, tri[0]) < 0:
+            geom[i, 0], geom[i, 1] = geom[i, 1], geom[i, 0]
+    return v32, geom, faces
+
+
+@functools.lru_cache(maxsize=1)
+def face_tables():
+    """Static per-face arrays for vectorized intersection.
+
+    Returns dict of float32 numpy arrays:
+      v0, e1, e2: (20, 3) triangle vertex and edges (winding-corrected order)
+      q: (20, 3) cross(-v0, e1) (static part of Moller-Trumbore)
+      idx: (20, 3) int32 vertex indices for bin accumulation (original,
+           unswapped order - see icosahedron())
+      onehot: (20, 3, 12) f32 one-hot of idx
+    """
+    verts, geom, faces = icosahedron()
+    tri = verts[geom]                        # (20, 3, 3)
+    v0 = tri[:, 0]
+    e1 = (tri[:, 1] - tri[:, 0]).astype(np.float32)
+    e2 = (tri[:, 2] - tri[:, 0]).astype(np.float32)
+    q = np.cross(-v0, e1).astype(np.float32)
+    onehot = np.zeros((ICOS_NFACES, 3, 12), np.float32)
+    for f in range(ICOS_NFACES):
+        for j in range(3):
+            onehot[f, j, faces[f, j]] = 1.0
+    return dict(v0=v0, e1=e1, e2=e2, q=q, idx=faces, onehot=onehot)
+
+
+def icos_hist_bin(grad: jax.Array):
+    """Vectorized icosahedral binning of gradient vectors.
+
+    Args:
+      grad: (..., 3) float32 gradient vectors.
+
+    Returns:
+      face: (...,) int32 index of the first intersecting face (or 0 if none)
+      bary: (..., 3) float32 barycentric coordinates on that face
+      ok:   (...,) bool   - vector is large enough and intersects a face
+    """
+    t = face_tables()
+    e1 = jnp.asarray(t["e1"]); e2 = jnp.asarray(t["e2"])
+    v0 = jnp.asarray(t["v0"]); q = jnp.asarray(t["q"])
+    eps = jnp.float32(BARY_EPS)
+
+    g = grad[..., None, :]                                 # (..., 1, 3)
+    p = jnp.cross(jnp.broadcast_to(g, g.shape[:-2] + (ICOS_NFACES, 3)), e2)
+    det = jnp.sum(e1 * p, -1)                              # (..., 20)
+    det_ok = jnp.abs(det) >= eps
+    det_inv = jnp.float32(1.0) / jnp.where(det_ok, det, 1.0)
+    t_vec = -v0
+    by = det_inv * jnp.sum(t_vec * p, -1)
+    bz = det_inv * jnp.sum(g * q, -1)
+    bx = jnp.float32(1.0) - by - bz
+    k = det_inv * jnp.sum(e2 * q, -1)
+    hit = det_ok & (bx >= -eps) & (by >= -eps) & (bz >= -eps) & (k >= 0)
+
+    # First intersecting face in scan order (reference stops at the first).
+    face_ids = jnp.arange(ICOS_NFACES, dtype=jnp.int32)
+    first = jnp.min(jnp.where(hit, face_ids, ICOS_NFACES), axis=-1)
+    any_hit = first < ICOS_NFACES
+    face = jnp.where(any_hit, first, 0).astype(jnp.int32)
+
+    bary_all = jnp.stack([bx, by, bz], -1)                 # (..., 20, 3)
+    bary = jnp.take_along_axis(
+        bary_all, face[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+
+    mag_ok = jnp.sum(grad * grad, -1) >= eps
+    return face, bary, any_hit & mag_ok
