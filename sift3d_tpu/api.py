@@ -1,0 +1,267 @@
+"""User-facing API: the analog of the reference's Matlab toolbox surface
+(detectSift3D / extractSift3D / matchSift3D / registerSift3D / imRead3D /
+imWrite3D, SURVEY §2 components 30-32) plus the C library's Reg_SIFT3D
+pipeline (reg/reg.c).
+
+The Sift3D class keeps the Gaussian pyramid of the last detection, like the
+mex toolbox's persistent process-global SIFT3D struct (mexutil.c:53-66), so
+extract() can reuse it without recomputation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pyramid as pyr_mod
+from .config import MatchParams, RansacParams, SIFT3DParams
+from .dtypes import f64
+from .features import match as match_mod
+from .features.dense import extract_dense_descriptors
+from .features.descriptor import Descriptors, extract_descriptors
+from .features import detect as detect_mod
+from .features.keypoints import Keypoints, head as kp_head
+from .io import im_read, im_write  # noqa: F401  (re-exported)
+from .io.volume import Volume
+from .ops.interp import im_inv_transform, im_resample
+from .register.pipeline import register_pair
+
+
+def _as_array(im):
+    if isinstance(im, Volume):
+        return np.asarray(im.data), im.units
+    return np.asarray(im), None
+
+
+# Compiled pipelines, cached per (shape, units, params) - the analog of the
+# reference's shape-keyed deferred allocation (set_im_SIFT3D, sift.c:893-910)
+# translated to jit-compilation caching.
+
+def _pow2_cap(n: int, lo: int = 32, hi: int = 1 << 30) -> int:
+    """Round a count up to a power of two (bounds jit-cache variants)."""
+    cap = lo
+    while cap < min(n, hi):
+        cap *= 2
+    return min(cap, hi)
+
+
+@functools.lru_cache(maxsize=64)
+def _extrema_fn(shape_zyx, units, params: SIFT3DParams):
+    """Stage A: pyramid + DoG extrema (dense work, static shapes)."""
+    nz, ny, nx = shape_zyx
+    plan = pyr_mod.plan_pyramid((nx, ny, nz), units, params)
+
+    @jax.jit
+    def fn(vol):
+        scaled = pyr_mod.im_scale(vol.astype(jnp.float32))
+        gpyr = pyr_mod.build_gpyr(scaled, plan)
+        dog = pyr_mod.build_dog(gpyr, plan)
+        ext = detect_mod.detect_extrema_levels(dog, plan, params)
+        return gpyr, ext
+    return fn, plan
+
+
+@functools.lru_cache(maxsize=256)
+def _orient_fn(shape_zyx, units, params: SIFT3DParams, caps_key):
+    """Stage B: orientation at host-chosen per-level capacities."""
+    nz, ny, nx = shape_zyx
+    plan = pyr_mod.plan_pyramid((nx, ny, nz), units, params)
+    caps = dict(caps_key)
+
+    @jax.jit
+    def fn(gpyr, ext):
+        return detect_mod.orient_levels(gpyr, ext, caps, plan, params)
+    return fn
+
+
+@functools.lru_cache(maxsize=256)
+def _extract_fn(shape_zyx, units, params: SIFT3DParams, kp_cap: int):
+    nz, ny, nx = shape_zyx
+    plan = pyr_mod.plan_pyramid((nx, ny, nz), units, params)
+
+    @jax.jit
+    def fn(gpyr, kp):
+        return extract_descriptors(gpyr, kp_head(kp, kp_cap), plan, params)
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _dense_fn(shape_zyx, units, params: SIFT3DParams):
+    return jax.jit(functools.partial(
+        extract_dense_descriptors, units=units, params=params))
+
+
+@functools.lru_cache(maxsize=64)
+def _register_fn(src_units, ref_units, match_params, ransac_params):
+    @jax.jit
+    def fn(d_src, d_ref):
+        return register_pair(d_src, d_ref, src_units, ref_units,
+                             match_params, ransac_params)
+    return fn
+
+
+class Sift3D:
+    """Detector/descriptor engine with a persistent pyramid.
+
+    Equivalent to the reference SIFT3D struct + its mex persistence
+    (imtypes.h:309-334, mexutil.c:53-66).
+    """
+
+    def __init__(self, params: SIFT3DParams = SIFT3DParams()):
+        params.validate()
+        self.params = params
+        self._gpyr = None
+        self._plan = None
+        self._kp: Keypoints | None = None
+        self._shape_units = None
+
+    def detect(self, im, units=(1.0, 1.0, 1.0)) -> Keypoints:
+        """Detect keypoints (SIFT3D_detect_keypoints, sift.c:1609-1641).
+
+        Two stages with a host sync between them: dense extrema detection
+        at static shapes, then orientation at capacities bucketed (powers
+        of two) from the actual per-level extrema counts, so the windowed
+        gathers scale with real keypoint counts.
+        """
+        data, vunits = _as_array(im)
+        units = tuple(vunits or units)
+        fn, plan = _extrema_fn(data.shape, units, self.params)
+        gpyr, ext = fn(jnp.asarray(data))
+        # One batched D2H transfer for all level counts (per-level int()
+        # syncs cost a tunnel round trip each).
+        counts = jax.device_get({k: c for k, (_, c) in ext.items()})
+        caps_key = tuple(sorted(
+            (level, _pow2_cap(int(count),
+                              hi=detect_mod.level_cap(plan, level[0],
+                                                      self.params)))
+            for level, count in counts.items()))
+        orient = _orient_fn(data.shape, units, self.params, caps_key)
+        kp = orient(gpyr, ext)
+        self._gpyr, self._plan, self._kp = gpyr, plan, kp
+        self._shape_units = (data.shape, units)
+        return kp
+
+    def extract(self, kp: Keypoints | None = None) -> Descriptors:
+        """Extract descriptors from the stored pyramid
+        (SIFT3D_extract_descriptors, sift.c:2025-2046). Keypoint rows are
+        bucketed to pow2(count) before the windowed gathers."""
+        if self._gpyr is None:
+            raise RuntimeError("call detect() before extract()")
+        kp = self._kp if kp is None else kp
+        cap = min(_pow2_cap(int(kp.count)), kp.capacity)
+        fn = _extract_fn(*self._shape_units, self.params, cap)
+        return fn(self._gpyr, kp)
+
+    def dense(self, im, units=(1.0, 1.0, 1.0)) -> np.ndarray:
+        """Dense descriptor image (12, nz, ny, nx)."""
+        data, vunits = _as_array(im)
+        units = tuple(vunits or units)
+        fn = _dense_fn(data.shape, units, self.params)
+        return np.asarray(fn(jnp.asarray(data)))
+
+
+def match_descriptors(d1: Descriptors, d2: Descriptors,
+                      nn_thresh: float = MatchParams().nn_thresh,
+                      ssd_dtype=jnp.float32) -> np.ndarray:
+    """Match two descriptor sets; returns (N1,) int32 indices or -1
+    (SIFT3D_nn_match, sift.c:2840-2888)."""
+    return np.asarray(match_mod.nn_match(
+        d1.vec, d2.vec, nn_thresh, d1.valid_mask(), d2.valid_mask(),
+        dtype=ssd_dtype))
+
+
+@dataclasses.dataclass
+class Registration:
+    """Host-side registration result."""
+    A: np.ndarray                  # (3, 4) voxel-space affine, ref -> src
+    match_src: np.ndarray          # (M, 3) matched src coords
+    match_ref: np.ndarray          # (M, 3) matched ref coords
+    num_inliers: int
+    ok: bool
+
+
+def _scale_descriptors(desc: Descriptors, factors) -> Descriptors:
+    """scale_SIFT3D (reg.c:320-348): coords *= factors; sd *= det^(-1/3)."""
+    factors = np.asarray(factors, np.float64)
+    det = float(np.prod(factors))
+    return Descriptors(
+        xyz=desc.xyz * jnp.asarray(factors, f64())[None, :],
+        sd=desc.sd * (det ** (-1.0 / 3.0)),
+        vec=desc.vec, count=desc.count)
+
+
+class RegSift3D:
+    """Pairwise registration pipeline (Reg_SIFT3D, reg/reg.c)."""
+
+    def __init__(self, params: SIFT3DParams = SIFT3DParams(),
+                 match_params: MatchParams = MatchParams(),
+                 ransac_params: RansacParams = RansacParams()):
+        match_params.validate()
+        ransac_params.validate()
+        self.sift = Sift3D(params)
+        self.match_params = match_params
+        self.ransac_params = ransac_params
+
+    def _detect_extract(self, im, units):
+        kp = self.sift.detect(im, units)
+        return self.sift.extract(kp)
+
+    def register(self, src, ref, src_units=(1.0, 1.0, 1.0),
+                 ref_units=(1.0, 1.0, 1.0), resample: bool = False,
+                 interp: str = "linear") -> Registration:
+        """register_SIFT3D / register_SIFT3D_resample (reg.c:239-429).
+
+        Returns the voxel-space affine mapping ref coords to src coords.
+        """
+        src_data, su = _as_array(src)
+        ref_data, ru = _as_array(ref)
+        src_units = tuple(su or src_units)
+        ref_units = tuple(ru or ref_units)
+
+        if resample and src_units != ref_units:
+            # Resample both to the finer common units (reg.c:366-429).
+            units_min = tuple(min(a, b)
+                              for a, b in zip(src_units, ref_units))
+            src_i = np.asarray(im_resample(jnp.asarray(src_data), src_units,
+                                           units_min, interp))
+            ref_i = np.asarray(im_resample(jnp.asarray(ref_data), ref_units,
+                                           units_min, interp))
+            d_src = self._detect_extract(src_i, units_min)
+            d_src = _scale_descriptors(
+                d_src, [um / u for um, u in zip(units_min, src_units)])
+            d_ref = self._detect_extract(ref_i, units_min)
+            d_ref = _scale_descriptors(
+                d_ref, [um / u for um, u in zip(units_min, ref_units)])
+            # The reference registers in the resampled images' units
+            # (reg->*_units are set from the interpolated images,
+            # reg.c:183-229), with coordinates already scaled back to the
+            # original voxel grids.
+            reg_src_units = reg_ref_units = units_min
+        else:
+            d_src = self._detect_extract(src_data, src_units)
+            d_ref = self._detect_extract(ref_data, ref_units)
+            reg_src_units, reg_ref_units = src_units, ref_units
+
+        fn = _register_fn(tuple(reg_src_units), tuple(reg_ref_units),
+                          self.match_params, self.ransac_params)
+        res = fn(d_src, d_ref)
+        n = int(res.num_matches)
+        return Registration(
+            A=np.asarray(res.A),
+            match_src=np.asarray(res.match_src)[:n],
+            match_ref=np.asarray(res.match_ref)[:n],
+            num_inliers=int(res.num_inliers), ok=bool(res.ok))
+
+
+def warp(src, A: np.ndarray, out_shape_zyx=None,
+         interp: str = "linear") -> np.ndarray:
+    """Pull-warp src through the affine A (im_inv_transform,
+    imutil.c:2040-2081); pairs with Registration.A to warp src onto ref."""
+    data, _ = _as_array(src)
+    return np.asarray(im_inv_transform(jnp.asarray(np.asarray(A, np.float64)),
+                                       jnp.asarray(data), out_shape_zyx,
+                                       interp))

@@ -32,7 +32,7 @@ import numpy as np
 from ..config import (DESC_NUM_TOTAL_HIST, DESC_NUMEL, DESC_RAD_FCTR,
                       DESC_SIG_FCTR, HIST_NUMEL, NHIST_PER_DIM, TRUNC_THRESH)
 from ..dtypes import f64
-from ..ops.geometry import face_tables, icos_hist_bin
+from ..ops.geometry import icos_hist_bin, vertex_weights
 from .keypoints import Keypoints
 from .windows import gather_window, window_extent
 
@@ -54,6 +54,9 @@ class Descriptors:
     @property
     def capacity(self) -> int:
         return self.vec.shape[0]
+
+    def valid_mask(self) -> jax.Array:
+        return jnp.arange(self.capacity) < self.count
 
     def to_numpy(self) -> np.ndarray:
         """Rows [x y z el0..el767] float32, matching the reference CSV
@@ -128,8 +131,7 @@ def _descrip_window(level, center_zyx, R, radii, cores, units, sigma, rad):
     mag = jnp.sqrt(jnp.sum(grad_rot * grad_rot, -1))
 
     total_mask = (mask & inside).reshape(V) & ok
-    onehot = jnp.asarray(face_tables()["onehot"])        # (20, 3, 12)
-    Gmat = jnp.einsum("vj,vjb->vb", bary, onehot[face])  # (V, 12)
+    Gmat = vertex_weights(face, bary)                    # (V, 12)
     Gmat = Gmat * (mag * total_mask.astype(jnp.float32))[:, None]
 
     # Trilinear spatial weights over the 4^3 histogram grid
@@ -165,7 +167,7 @@ def postprocess(raw: jax.Array) -> jax.Array:
 
 def extract_level(level: jax.Array, centers_zyx: jax.Array, R: jax.Array,
                   sd: float, units: tuple[float, float, float],
-                  chunk: int = 8) -> jax.Array:
+                  chunk: int = 32) -> jax.Array:
     """Descriptors for all keypoints of one level. centers_zyx float (K, 3)."""
     nz, ny, nx = level.shape
     sigma = np.float32(sd) * np.float32(DESC_SIG_FCTR)
@@ -197,7 +199,7 @@ def extract_level(level: jax.Array, centers_zyx: jax.Array, R: jax.Array,
 
 
 def extract_descriptors(gpyr: dict, kp: Keypoints, plan,
-                        params, chunk: int = 8) -> Descriptors:
+                        params, chunk: int = 32) -> Descriptors:
     """Descriptors from the detection pyramid (SIFT3D_extract_descriptors,
     sift.c:2025-2046). Keypoint rows keep their order."""
     K = kp.capacity
@@ -205,7 +207,7 @@ def extract_descriptors(gpyr: dict, kp: Keypoints, plan,
     valid = kp.valid_mask()
     s_start = plan.first_level + 1
     s_end = plan.last_dog_level - 1
-    cap = params.max_kp_per_level
+    cap = min(params.max_kp_per_level, K)
 
     for o in range(plan.num_octaves):
         units_o = plan.octave_units(o)

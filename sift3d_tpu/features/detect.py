@@ -42,27 +42,66 @@ def _level_keypoints(zyx, count, R, ori_valid, o, s, sd, capacity):
         count=new_count)
 
 
-def detect_keypoints_pyr(gpyr: dict, dog: dict, plan,
-                         params: SIFT3DParams) -> Keypoints:
-    """Detect + orient keypoints given prebuilt pyramids."""
-    cap = params.max_kp_per_level
+def kp_levels(plan):
+    """The (o, s) levels that can hold keypoints (sift.c:1086-1089)."""
     s_start = plan.first_level + 1
     s_end = plan.last_dog_level - 1
+    return [(o, s) for o in range(plan.num_octaves)
+            for s in range(s_start, s_end + 1)]
+
+
+def level_cap(plan, o: int, params: SIFT3DParams) -> int:
+    """Static extrema capacity for one level: the user cap clamped to the
+    interior voxel count (extrema live in [1, n-2]^3)."""
+    nx, ny, nz = plan.octave_dims(o)
+    interior = max((nx - 2), 1) * max((ny - 2), 1) * max((nz - 2), 1)
+    return min(params.max_kp_per_level, interior)
+
+
+def detect_extrema_levels(dog: dict, plan, params: SIFT3DParams) -> dict:
+    """Stage A: DoG extrema per level -> {(o, s): (zyx, count)}."""
+    out = {}
+    for o, s in kp_levels(plan):
+        out[(o, s)] = extrema.level_extrema(
+            dog[(o, s - 1)], dog[(o, s)], dog[(o, s + 1)],
+            params.peak_thresh, level_cap(plan, o, params))
+    return out
+
+
+def orient_levels(gpyr: dict, extrema_levels: dict, caps: dict, plan,
+                  params: SIFT3DParams) -> Keypoints:
+    """Stage B: orientation + compaction, at per-level capacities ``caps``.
+
+    ``caps[(o, s)]`` bounds the keypoints processed on that level (rows
+    beyond it are dropped, matching the fixed-capacity contract). Splitting
+    A/B lets the host pick caps from the actual extrema counts, so the
+    windowed gathers scale with real keypoint counts instead of worst-case
+    padding - the TPU analog of the reference's exact-size OpenMP loops
+    (sift.c:1273, 2229).
+    """
     buckets = []
-    for o in range(plan.num_octaves):
-        units_o = plan.octave_units(o)
-        for s in range(s_start, s_end + 1):
-            zyx, count = extrema.level_extrema(
-                dog[(o, s - 1)], dog[(o, s)], dog[(o, s + 1)],
-                params.peak_thresh, cap)
-            geom = plan.gpyr_level(o, s)
-            R, valid = orientation.assign_orientations_level(
-                gpyr[(o, s)], zyx, geom.scale, units_o,
-                params.corner_thresh)
-            # Rows past `count` are padding; make sure they never pass.
-            buckets.append(_level_keypoints(
-                zyx, count, R, valid, o, s, geom.scale, cap))
+    for o, s in kp_levels(plan):
+        zyx, count = extrema_levels[(o, s)]
+        cap = caps[(o, s)]
+        zyx = zyx[:cap]
+        count = jnp.minimum(count, cap)
+        geom = plan.gpyr_level(o, s)
+        R, valid = orientation.assign_orientations_level(
+            gpyr[(o, s)], zyx, geom.scale, plan.octave_units(o),
+            params.corner_thresh)
+        buckets.append(_level_keypoints(
+            zyx, count, R, valid, o, s, geom.scale, cap))
     return concatenate(buckets)
+
+
+def detect_keypoints_pyr(gpyr: dict, dog: dict, plan,
+                         params: SIFT3DParams) -> Keypoints:
+    """Detect + orient keypoints given prebuilt pyramids (single program,
+    static worst-case capacities; the two-stage host-bucketed path in
+    api.Sift3D is faster when counts are far below the cap)."""
+    ext = detect_extrema_levels(dog, plan, params)
+    caps = {k: level_cap(plan, k[0], params) for k in ext}
+    return orient_levels(gpyr, ext, caps, plan, params)
 
 
 def detect_keypoints(vol: jax.Array, units: tuple[float, float, float],

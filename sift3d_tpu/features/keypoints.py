@@ -54,6 +54,14 @@ class Keypoints:
         return out
 
 
+def head(kp: Keypoints, n: int) -> Keypoints:
+    """First ``n`` rows of a compacted keypoint set (static slice)."""
+    return Keypoints(
+        x=kp.x[:n], y=kp.y[:n], z=kp.z[:n], o=kp.o[:n], s=kp.s[:n],
+        sd=kp.sd[:n], R=kp.R[:n],
+        count=jnp.minimum(kp.count, jnp.int32(n)))
+
+
 def concatenate(parts: list[Keypoints]) -> Keypoints:
     """Concatenate padded keypoint sets, compacting valid rows in order."""
     caps = sum(p.capacity for p in parts)

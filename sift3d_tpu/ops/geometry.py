@@ -85,6 +85,32 @@ def face_tables():
     return dict(v0=v0, e1=e1, e2=e2, q=q, idx=faces, onehot=onehot)
 
 
+@functools.lru_cache(maxsize=1)
+def face_solve_tables():
+    """Closed-form intersection tables.
+
+    For a regular icosahedron centered at the origin, every face plane has
+    the same distance to the center, so the face hit by a ray from the
+    origin along g is simply ``argmax_f dot(g, n_f)`` over unit outward
+    normals - no Moller-Trumbore scan needed. Barycentric coordinates
+    follow from solving [v0 v1 v2] b = g and normalizing to sum 1
+    (the intersection point is a positive multiple of g).
+
+    Returns (normals (20, 3) f32 unit outward, vinv (20, 9) f32 row-major
+    inverses of the vertex matrices).
+    """
+    verts, geom, _ = icosahedron()
+    tri = verts[geom].astype(np.float64)                # (20, 3, 3)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    # Orient outward (toward the face centroid) and normalize.
+    centroid = tri.mean(axis=1)
+    n *= np.sign(np.sum(n * centroid, axis=1, keepdims=True))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    vmat = np.transpose(tri, (0, 2, 1))                  # columns = vertices
+    vinv = np.linalg.inv(vmat).reshape(ICOS_NFACES, 9)
+    return n.astype(np.float32), vinv.astype(np.float32)
+
+
 def icos_hist_bin(grad: jax.Array):
     """Vectorized icosahedral binning of gradient vectors.
 
@@ -96,33 +122,50 @@ def icos_hist_bin(grad: jax.Array):
       bary: (..., 3) float32 barycentric coordinates on that face
       ok:   (...,) bool   - vector is large enough and intersects a face
     """
-    t = face_tables()
-    e1 = jnp.asarray(t["e1"]); e2 = jnp.asarray(t["e2"])
-    v0 = jnp.asarray(t["v0"]); q = jnp.asarray(t["q"])
+    normals, vinv = face_solve_tables()
     eps = jnp.float32(BARY_EPS)
 
-    g = grad[..., None, :]                                 # (..., 1, 3)
-    p = jnp.cross(jnp.broadcast_to(g, g.shape[:-2] + (ICOS_NFACES, 3)), e2)
-    det = jnp.sum(e1 * p, -1)                              # (..., 20)
-    det_ok = jnp.abs(det) >= eps
-    det_inv = jnp.float32(1.0) / jnp.where(det_ok, det, 1.0)
-    t_vec = -v0
-    by = det_inv * jnp.sum(t_vec * p, -1)
-    bz = det_inv * jnp.sum(g * q, -1)
-    bx = jnp.float32(1.0) - by - bz
-    k = det_inv * jnp.sum(e2 * q, -1)
-    hit = det_ok & (bx >= -eps) & (by >= -eps) & (bz >= -eps) & (k >= 0)
+    # Hit face = argmax of dot(g, outward unit normal): with all face
+    # planes equidistant from the center, the smallest positive ray
+    # parameter is the largest normal-dot. Ties (edge directions) go to
+    # the lowest face index, like the reference's first-hit scan
+    # (icos_hist_bin, sift.c:1646-1683); at such boundaries the barycentric
+    # weight of the non-shared vertex is 0, so histograms are continuous.
+    scores = jnp.matmul(grad, jnp.asarray(normals).T,
+                        preferred_element_type=jnp.float32)   # (..., 20)
+    face = jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
-    # First intersecting face in scan order (reference stops at the first).
-    face_ids = jnp.arange(ICOS_NFACES, dtype=jnp.int32)
-    first = jnp.min(jnp.where(hit, face_ids, ICOS_NFACES), axis=-1)
-    any_hit = first < ICOS_NFACES
-    face = jnp.where(any_hit, first, 0).astype(jnp.int32)
-
-    bary_all = jnp.stack([bx, by, bz], -1)                 # (..., 20, 3)
-    bary = jnp.take_along_axis(
-        bary_all, face[..., None, None].astype(jnp.int32), axis=-2
-    )[..., 0, :]
+    # Per-voxel inverse vertex matrix via one-hot matmul (gather-free).
+    oh20 = (face[..., None] ==
+            jnp.arange(ICOS_NFACES, dtype=jnp.int32)).astype(jnp.float32)
+    B = jnp.matmul(oh20, jnp.asarray(vinv),
+                   preferred_element_type=jnp.float32)        # (..., 9)
+    B = B.reshape(B.shape[:-1] + (3, 3))
+    raw = jnp.einsum("...ij,...j->...i", B, grad)             # V^-1 g
+    s = jnp.sum(raw, axis=-1)
+    s_ok = s > 0
+    bary = raw / jnp.where(s_ok, s, 1.0)[..., None]
 
     mag_ok = jnp.sum(grad * grad, -1) >= eps
-    return face, bary, any_hit & mag_ok
+    return face, bary, s_ok & mag_ok
+
+
+def vertex_weights(face: jax.Array, bary: jax.Array) -> jax.Array:
+    """(..., 12) per-vertex weights: bary[j] accumulated into bin
+    faces[face][j] (MESH_HIST_GET, sift.c:61-66).
+
+    Gather-free formulation for the TPU: one-hot of the face index (a
+    comparison, VPU) times three static (20, 12) matrices (MXU), instead
+    of indexing the (20, 3, 12) table per element - TPU gathers of that
+    size dominate the descriptor kernel otherwise.
+    """
+    t = face_tables()
+    oh20 = (face[..., None] ==
+            jnp.arange(ICOS_NFACES, dtype=face.dtype)).astype(jnp.float32)
+    out = None
+    for j in range(3):
+        Mj = jnp.asarray(t["onehot"][:, j, :])          # (20, 12) static
+        term = bary[..., j:j + 1] * jnp.matmul(
+            oh20, Mj, preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+    return out

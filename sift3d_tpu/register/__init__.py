@@ -1,0 +1,2 @@
+from .ransac import find_tform_ransac, fit_affine_ls, RansacResult
+from .pipeline import register_pair, RegistrationResult, im2mm, mm2im

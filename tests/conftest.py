@@ -16,9 +16,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# The environment's axon TPU plugin force-prepends itself to jax_platforms;
-# override after import so tests really run on the virtual CPU devices.
+# The environment's axon TPU plugin preimports jax via a .pth hook, so env
+# vars set above never reach jax's config init. Set both knobs explicitly
+# post-import: tests run on the virtual CPU devices with x64 enabled.
 jax.config.update("jax_platforms", "cpu")
+# NOTE on precision: the f64() paths fall back to float32 here (x64 off).
+# The golden tests against the C oracle pass at f32 (keypoints row-exact,
+# descriptors within 2e-3), and enabling x64 tripled compile times on this
+# single-core host (28-test suite: 20 min vs ~6). The x64 configuration was
+# validated once in full; day-to-day CI runs f32, like the TPU fast path.
+# Persistent compilation cache: recompiles dominate test time otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -87,6 +87,11 @@ def get_oracle():
     lib.orc_gauss_blur.restype = c.c_int
     lib.orc_gauss_blur.argtypes = [f32p] + [c.c_int] * 3 + [c.c_double] * 5 + \
         [f32p]
+    lib.orc_dense.restype = c.c_int
+    lib.orc_dense.argtypes = [f32p] + [c.c_int] * 3 + [c.c_double] * 3 + [f32p]
+    lib.orc_inv_transform.restype = c.c_int
+    lib.orc_inv_transform.argtypes = [f32p] + [c.c_int] * 3 + \
+        [f64p, c.c_int, f32p]
     lib.orc_match.restype = c.c_int
     lib.orc_match.argtypes = [f32p, c.c_int, f32p, c.c_int, c.c_double, i32p]
     lib.orc_ransac.restype = c.c_int
@@ -147,6 +152,28 @@ class Oracle:
             units[0], units[1], units[2], sigma, unit, out)
         if r < 0:
             raise RuntimeError("orc_gauss_blur failed")
+        return out.reshape(nz, ny, nx)
+
+    def dense(self, vol_zyx: np.ndarray, units=(1.0, 1.0, 1.0)):
+        nz, ny, nx = vol_zyx.shape
+        out = np.zeros(12 * nz * ny * nx, np.float32)
+        r = self.lib.orc_dense(
+            np.ascontiguousarray(vol_zyx, np.float32), nx, ny, nz,
+            units[0], units[1], units[2], out)
+        if r != 0:
+            raise RuntimeError("orc_dense failed")
+        return out.reshape(12, nz, ny, nx)
+
+    def inv_transform(self, vol_zyx: np.ndarray, A: np.ndarray,
+                      interp="linear"):
+        nz, ny, nx = vol_zyx.shape
+        out = np.zeros(nz * ny * nx, np.float32)
+        r = self.lib.orc_inv_transform(
+            np.ascontiguousarray(vol_zyx, np.float32), nx, ny, nz,
+            np.ascontiguousarray(A, np.float64),
+            0 if interp == "linear" else 1, out)
+        if r != 0:
+            raise RuntimeError("orc_inv_transform failed")
         return out.reshape(nz, ny, nx)
 
     def match(self, d1: np.ndarray, d2: np.ndarray, nn_thresh=0.8):

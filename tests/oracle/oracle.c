@@ -150,6 +150,55 @@ int orc_gauss_blur(const float *data, int nx, int ny, int nz,
     return nx * ny * nz;
 }
 
+/* Dense descriptors: returns 12-channel image as out[b][z][y][x] (b-major).
+ * Returns 0 or -1. */
+int orc_dense(const float *data, int nx, int ny, int nz,
+              double ux, double uy, double uz, float *out) {
+    Image im, desc;
+    int x, y, z, c;
+    ensure_init();
+    fill_image(&im, data, nx, ny, nz, ux, uy, uz);
+    init_im(&desc);
+    if (SIFT3D_extract_dense_descriptors(&g_sift, &im, &desc)) {
+        im_free(&im);
+        return -1;
+    }
+    for (c = 0; c < desc.nc; c++)
+        SIFT3D_IM_LOOP_START(&desc, x, y, z)
+            out[x + desc.nx * (y + desc.ny * (z + desc.nz * c))] =
+                SIFT3D_IM_GET_VOX(&desc, x, y, z, c);
+        SIFT3D_IM_LOOP_END
+    im_free(&im); im_free(&desc);
+    return 0;
+}
+
+/* Pull-warp src through affine A (3x4 row-major), output same dims.
+ * interp: 0 = linear, 1 = lanczos2. Returns 0 or -1. */
+int orc_inv_transform(const float *data, int nx, int ny, int nz,
+                      const double *A_in, int interp, float *out) {
+    Image im, dst;
+    Affine aff;
+    Mat_rm A;
+    int x, y, z, i, j, ret = -1;
+    fill_image(&im, data, nx, ny, nz, 1.0, 1.0, 1.0);
+    init_im(&dst);
+    if (init_Mat_rm(&A, 3, 4, SIFT3D_DOUBLE, SIFT3D_TRUE)) return -1;
+    for (i = 0; i < 3; i++)
+        for (j = 0; j < 4; j++)
+            SIFT3D_MAT_RM_GET(&A, i, j, double) = A_in[4 * i + j];
+    if (init_Affine(&aff, 3) || Affine_set_mat(&A, &aff)) goto quit;
+    if (im_inv_transform(&aff, &im, interp ? LANCZOS2 : LINEAR,
+                         SIFT3D_TRUE, &dst)) goto quit;
+    SIFT3D_IM_LOOP_START(&dst, x, y, z)
+        out[x + dst.nx * (y + dst.ny * z)] =
+            SIFT3D_IM_GET_VOX(&dst, x, y, z, 0);
+    SIFT3D_IM_LOOP_END
+    ret = 0;
+quit:
+    im_free(&im); im_free(&dst); cleanup_Mat_rm(&A);
+    return ret;
+}
+
 /* Match two descriptor matrices (n x 771 float rows: [x y z el0..el767]).
  * matches_out has n1 ints. Returns 0 or -1. */
 int orc_match(const float *d1, int n1, const float *d2, int n2,

@@ -1,0 +1,41 @@
+"""The driver's entry points must compile and run on the virtual mesh.
+
+Run in a subprocess that mirrors the driver's environment: CPU platform
+with 8 virtual devices, default (f32) precision - NOT the x64 config the
+rest of the suite uses, which would triple compile times on this host.
+"""
+
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SNIPPET = """
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as graft
+
+fn, args = graft.entry()
+out = jax.jit(fn)(*args)
+jax.block_until_ready(out)
+assert out[2].shape == ()
+print("ENTRY_OK")
+
+assert len(jax.devices()) == 8
+graft.dryrun_multichip(8)
+print("DRYRUN_OK")
+"""
+
+
+def test_entry_and_dryrun():
+    r = subprocess.run(
+        [sys.executable, "-c", _SNIPPET], capture_output=True, text=True,
+        cwd=_REPO, timeout=540,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "ENTRY_OK" in r.stdout
+    assert "DRYRUN_OK" in r.stdout

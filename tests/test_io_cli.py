@@ -1,0 +1,147 @@
+"""IO round-trips (Sift3DTest.m:440-763 analogs) and CLI smoke tests."""
+
+import os
+
+
+
+import numpy as np
+import pytest
+
+from sift3d_tpu.io import (im_read, im_write, FileDoesNotExistError,
+                           UnsupportedFileTypeError)
+from sift3d_tpu.io.volume import Volume
+from sift3d_tpu.io.csv import (read_mat, write_mat, write_affine,
+                               read_descriptors, write_descriptors)
+
+from tests.conftest import make_blob_volume
+
+
+def test_nifti_roundtrip_3d(tmp_path, rng):
+    vol = rng.random((9, 7, 11)).astype(np.float32)
+    path = str(tmp_path / "a.nii")
+    im_write(path, Volume(vol, (1.5, 2.0, 0.5)))
+    back = im_read(path)
+    np.testing.assert_allclose(back.data, vol, atol=0)
+    assert back.units == (1.5, 2.0, 0.5)
+
+
+def test_nifti_roundtrip_gz_multichannel(tmp_path, rng):
+    vol = rng.random((6, 5, 4, 3)).astype(np.float32)
+    path = str(tmp_path / "b.nii.gz")
+    im_write(path, Volume(vol))
+    back = im_read(path)
+    assert back.data.shape == (6, 5, 4, 3)
+    np.testing.assert_allclose(back.data, vol, atol=0)
+
+
+def test_nifti_roundtrip_2d(tmp_path, rng):
+    # 2D image = one z slice (Sift3DTest.m:515-533).
+    vol = rng.random((1, 8, 9)).astype(np.float32)
+    path = str(tmp_path / "c.nii")
+    im_write(path, Volume(vol))
+    back = im_read(path)
+    assert back.data.shape == (1, 8, 9)
+    np.testing.assert_allclose(back.data, vol)
+
+
+def test_nifti_scl_slope(tmp_path):
+    # Hand-craft an int16 file with slope/inter; reader must apply them
+    # (nifti.c:100-111).
+    import struct
+    nx, ny, nz = 4, 3, 2
+    data = np.arange(nx * ny * nz, dtype=np.int16)
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, 4)        # int16
+    struct.pack_into("<h", hdr, 72, 16)
+    struct.pack_into("<8f", hdr, 76, 1, 2.0, 3.0, 4.0, 1, 1, 1, 1)
+    struct.pack_into("<f", hdr, 108, 352.0)
+    struct.pack_into("<f", hdr, 112, 2.5)     # slope
+    struct.pack_into("<f", hdr, 116, -1.0)    # inter
+    struct.pack_into("<4s", hdr, 344, b"n+1\x00")
+    path = str(tmp_path / "s.nii")
+    with open(path, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 4 + data.tobytes())
+    v = im_read(path)
+    want = data.astype(np.float64).reshape(nz, ny, nx) * 2.5 - 1.0
+    np.testing.assert_allclose(v.data, want.astype(np.float32))
+    assert v.units == (2.0, 3.0, 4.0)
+
+
+def test_io_errors(tmp_path):
+    with pytest.raises(FileDoesNotExistError):
+        im_read(str(tmp_path / "missing.nii"))
+    with pytest.raises(UnsupportedFileTypeError):
+        im_write(str(tmp_path / "bad.xyz"),
+                 Volume(np.zeros((2, 2, 2), np.float32)))
+    with pytest.raises(ValueError):
+        Volume(np.zeros((2, 2, 2), np.float32), units=(0, 1, 1))
+
+
+def test_csv_roundtrip(tmp_path, rng):
+    m = rng.random((5, 4))
+    path = str(tmp_path / "m.csv")
+    write_mat(path, m)
+    with open(path) as f:
+        first = f.readline()
+    assert first.count(",") == 3 and first.endswith("\n")
+    back = read_mat(path)
+    np.testing.assert_allclose(back, m, atol=1e-6)   # %f has 6 decimals
+    # gz variant
+    write_mat(str(tmp_path / "m.csv.gz"), m)
+    np.testing.assert_allclose(read_mat(str(tmp_path / "m.csv.gz")), m,
+                               atol=1e-6)
+
+
+def test_descriptor_csv_shape_check(tmp_path, rng):
+    rows = rng.random((3, 771)).astype(np.float32)
+    path = str(tmp_path / "d.csv")
+    write_descriptors(path, rows)
+    back = read_descriptors(path)
+    assert back.shape == (3, 771)
+
+
+def test_cli_kp_smoke(tmp_path):
+    from sift3d_tpu.cli.kp import main
+    vol = make_blob_volume((24, 24, 24), seed=5)
+    inp = str(tmp_path / "in.nii.gz")
+    im_write(inp, Volume(vol))
+    keys = str(tmp_path / "keys.csv")
+    desc = str(tmp_path / "desc.csv.gz")
+    assert main(["--keys", keys, "--desc", desc, inp]) == 0
+    k = read_mat(keys)
+    assert k.shape[1] == 14 and len(k) > 0
+    d = read_descriptors(desc)
+    assert len(d) == len(k)
+
+
+def test_cli_reg_smoke(tmp_path):
+    from sift3d_tpu.cli.reg import main
+    vol = make_blob_volume((40, 40, 40), seed=6)
+    src = str(tmp_path / "src.nii")
+    ref = str(tmp_path / "ref.nii")
+    im_write(src, Volume(vol))
+    im_write(ref, Volume(np.roll(vol, (1, -2, 2), axis=(0, 1, 2))))
+    tform = str(tmp_path / "t.csv")
+    matches = str(tmp_path / "m.csv")
+    warped = str(tmp_path / "w.nii.gz")
+    assert main(["--transform", tform, "--matches", matches,
+                 "--warped", warped, src, ref]) == 0
+    A = read_mat(tform)
+    assert A.shape == (3, 4)
+    np.testing.assert_allclose(A[:, :3], np.eye(3), atol=0.1)
+    w = im_read(warped)
+    assert w.data.shape == (40, 40, 40)
+
+
+def test_cli_dense_smoke(tmp_path):
+    from sift3d_tpu.cli.dense import main
+    vol = make_blob_volume((12, 12, 12), seed=8)
+    inp = str(tmp_path / "in.nii")
+    im_write(inp, Volume(vol))
+    out = str(tmp_path / "out%.nii")
+    assert main([inp, out]) == 0
+    for c in range(12):
+        v = im_read(str(tmp_path / f"out{c}.nii"))
+        assert v.data.shape == (12, 12, 12)
