@@ -22,7 +22,8 @@ from .config import MatchParams, RansacParams, SIFT3DParams
 from .dtypes import f64
 from .features import match as match_mod
 from .features.dense import extract_dense_descriptors
-from .features.descriptor import Descriptors, extract_descriptors
+from .features.descriptor import (Descriptors, extract_descriptors,
+                                  extract_raw_descriptors)
 from .features import detect as detect_mod
 from .features.keypoints import Keypoints, head as kp_head
 from .io import im_read, im_write  # noqa: F401  (re-exported)
@@ -86,6 +87,18 @@ def _extract_fn(shape_zyx, units, params: SIFT3DParams, kp_cap: int):
     @jax.jit
     def fn(gpyr, kp):
         return extract_descriptors(gpyr, kp_head(kp, kp_cap), plan, params)
+    return fn
+
+
+@functools.lru_cache(maxsize=256)
+def _extract_raw_fn(shape_zyx, units, params: SIFT3DParams, kp_cap: int):
+    nz, ny, nx = shape_zyx
+    plan = pyr_mod.plan_pyramid((nx, ny, nz), units, params)
+
+    @jax.jit
+    def fn(vol, kp):
+        return extract_raw_descriptors(vol, kp_head(kp, kp_cap), units,
+                                       plan, params)
     return fn
 
 
@@ -155,6 +168,16 @@ class Sift3D:
         cap = min(_pow2_cap(int(kp.count)), kp.capacity)
         fn = _extract_fn(*self._shape_units, self.params, cap)
         return fn(self._gpyr, kp)
+
+    def extract_raw(self, im, kp: Keypoints,
+                    units=(1.0, 1.0, 1.0)) -> Descriptors:
+        """Descriptors from a raw image + keypoint list
+        (SIFT3D_extract_raw_descriptors, sift.c:2131-2195)."""
+        data, vunits = _as_array(im)
+        units = tuple(vunits or units)
+        cap = min(_pow2_cap(int(kp.count)), kp.capacity)
+        fn = _extract_raw_fn(data.shape, units, self.params, cap)
+        return fn(jnp.asarray(data), kp)
 
     def dense(self, im, units=(1.0, 1.0, 1.0)) -> np.ndarray:
         """Dense descriptor image (12, nz, ny, nx)."""

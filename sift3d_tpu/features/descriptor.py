@@ -236,3 +236,53 @@ def extract_descriptors(gpyr: dict, kp: Keypoints, plan,
     factor = jnp.exp2(kp.o.astype(f64()))
     xyz = jnp.stack([kp.x * factor, kp.y * factor, kp.z * factor], -1)
     return Descriptors(xyz=xyz, sd=kp.sd, vec=vec, count=kp.count)
+
+
+def extract_raw_descriptors(vol: jax.Array, kp: Keypoints,
+                            units: tuple[float, float, float],
+                            plan, params, chunk: int = 32) -> Descriptors:
+    """Descriptors from a raw image instead of a stored pyramid
+    (SIFT3D_extract_raw_descriptors, reference sift.c:2131-2195).
+
+    The image is smoothed from sigma_n to sigma0 and scaled to [-1, 1]
+    (smooth_scale_raw_input, sift.c:1978-2006); keypoints are converted to
+    the base octave by scaling coordinates by 2^o with sd *unchanged*
+    (keypoint2base / scale_Keypoint, sift.c:2094-2115, 1952-1967), so each
+    original (o, s) bucket keeps its own window size - now measured in
+    base-octave voxels on the single smoothed image.
+    """
+    from .dense import smooth_scale_raw_input
+
+    smoothed = smooth_scale_raw_input(vol, units, params)
+    K = kp.capacity
+    vec = jnp.zeros((K, DESC_NUMEL), jnp.float32)
+    valid = kp.valid_mask()
+    s_start = plan.first_level + 1
+    s_end = plan.last_dog_level - 1
+    cap = min(params.max_kp_per_level, K)
+
+    for o in range(plan.num_octaves):
+        factor = np.float32(2.0 ** o)
+        for s in range(s_start, s_end + 1):
+            sel = valid & (kp.o == o) & (kp.s == s)
+            pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            dest = jnp.where(sel & (pos < cap), pos, cap)
+            rows = jnp.zeros(cap + 1, jnp.int32).at[dest].set(
+                jnp.arange(K, dtype=jnp.int32))[:cap]
+            n_in_bucket = jnp.minimum(pos[-1] + 1, cap)
+            centers = jnp.stack(
+                [kp.z[rows], kp.y[rows], kp.x[rows]], -1
+            ).astype(jnp.float32) * factor
+            Rb = kp.R[rows]
+            geom = plan.gpyr_level(o, s)
+            desc_b = extract_level(smoothed, centers, Rb, geom.scale,
+                                   units, chunk)
+            bucket_valid = jnp.arange(cap) < n_in_bucket
+            safe_rows = jnp.where(bucket_valid, rows, K)
+            vec = vec.at[safe_rows].set(
+                jnp.where(bucket_valid[:, None], desc_b, 0),
+                mode="drop")
+
+    f2 = jnp.exp2(kp.o.astype(f64()))
+    xyz = jnp.stack([kp.x * f2, kp.y * f2, kp.z * f2], -1)
+    return Descriptors(xyz=xyz, sd=kp.sd, vec=vec, count=kp.count)

@@ -87,6 +87,9 @@ def get_oracle():
     lib.orc_gauss_blur.restype = c.c_int
     lib.orc_gauss_blur.argtypes = [f32p] + [c.c_int] * 3 + [c.c_double] * 5 + \
         [f32p]
+    lib.orc_extract_raw.restype = c.c_int
+    lib.orc_extract_raw.argtypes = [f32p] + [c.c_int] * 3 + \
+        [c.c_double] * 3 + [f64p, c.c_int, f64p, c.c_int]
     lib.orc_dense.restype = c.c_int
     lib.orc_dense.argtypes = [f32p] + [c.c_int] * 3 + [c.c_double] * 3 + [f32p]
     lib.orc_inv_transform.restype = c.c_int
@@ -153,6 +156,20 @@ class Oracle:
         if r < 0:
             raise RuntimeError("orc_gauss_blur failed")
         return out.reshape(nz, ny, nx)
+
+    def extract_raw(self, vol_zyx: np.ndarray, kp_rows15: np.ndarray,
+                    units=(1.0, 1.0, 1.0), cap=100000):
+        """kp_rows15: (N, 15) [x y z o s sd R00..R22]."""
+        nz, ny, nx = vol_zyx.shape
+        out = np.zeros((cap, 772), np.float64)
+        n = self.lib.orc_extract_raw(
+            np.ascontiguousarray(vol_zyx, np.float32), nx, ny, nz,
+            units[0], units[1], units[2],
+            np.ascontiguousarray(kp_rows15, np.float64), len(kp_rows15),
+            out, cap)
+        if n < 0:
+            raise RuntimeError("orc_extract_raw failed")
+        return out[:n]
 
     def dense(self, vol_zyx: np.ndarray, units=(1.0, 1.0, 1.0)):
         nz, ny, nx = vol_zyx.shape

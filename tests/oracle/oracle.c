@@ -131,6 +131,52 @@ int orc_extract(double *out, int cap) {
     return i;
 }
 
+/* Raw-image descriptor extraction (SIFT3D_extract_raw_descriptors).
+ * kp_rows: n x 15 doubles [x y z o s sd R00..R22] (octave coordinates).
+ * out rows: [x y z sd el0..el767], 772 doubles. Returns count or -1. */
+int orc_extract_raw(const float *data, int nx, int ny, int nz,
+                    double ux, double uy, double uz,
+                    const double *kp_rows, int n_kp, double *out, int cap) {
+    Image im;
+    Keypoint_store kps;
+    SIFT3D_Descriptor_store desc;
+    int i, j, ret = -1;
+    ensure_init();
+    fill_image(&im, data, nx, ny, nz, ux, uy, uz);
+    init_Keypoint_store(&kps);
+    init_SIFT3D_Descriptor_store(&desc);
+    if (resize_Keypoint_store(&kps, n_kp)) goto quit;
+    for (i = 0; i < n_kp; i++) {
+        Keypoint *k = kps.buf + i;
+        const double *row = kp_rows + 15 * i;
+        int r, c;
+        if (init_Keypoint(k)) goto quit;
+        k->xd = row[0]; k->yd = row[1]; k->zd = row[2];
+        k->o = (int)row[3]; k->s = (int)row[4]; k->sd = row[5];
+        for (r = 0; r < 3; r++)
+            for (c = 0; c < 3; c++)
+                SIFT3D_MAT_RM_GET(&k->R, r, c, float) =
+                    (float)row[6 + 3 * r + c];
+    }
+    if (SIFT3D_extract_raw_descriptors(&g_sift, &im, &kps, &desc)) goto quit;
+    for (i = 0; i < desc.num && i < cap; i++) {
+        const SIFT3D_Descriptor *d = desc.buf + i;
+        double *row = out + 772 * i;
+        row[0] = d->xd; row[1] = d->yd; row[2] = d->zd; row[3] = d->sd;
+        for (j = 0; j < DESC_NUM_TOTAL_HIST; j++) {
+            int b;
+            for (b = 0; b < HIST_NUMEL; b++)
+                row[4 + j * HIST_NUMEL + b] = (double)d->hists[j].bins[b];
+        }
+    }
+    ret = desc.num;
+quit:
+    im_free(&im);
+    cleanup_Keypoint_store(&kps);
+    cleanup_SIFT3D_Descriptor_store(&desc);
+    return ret;
+}
+
 /* Gaussian blur via apply_Sep_FIR_filter (unit spacing `unit`). */
 int orc_gauss_blur(const float *data, int nx, int ny, int nz,
                    double ux, double uy, double uz,
