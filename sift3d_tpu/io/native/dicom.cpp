@@ -1,0 +1,816 @@
+/* Native DICOM codec for sift3d_tpu.
+ *
+ * A self-contained C++17 implementation of the DICOM behaviors of the
+ * reference's DCMTK wrapper (/root/reference/imutil/dicom.cpp), written
+ * from scratch (no DCMTK):
+ *
+ *  - Part-10 parsing: preamble + DICM magic, explicit-VR-LE file meta
+ *    group, dataset in Implicit or Explicit VR Little Endian. Compressed
+ *    transfer syntaxes are rejected with a clear error (the reference
+ *    supports JPEG via DCMTK codecs; this codec targets the uncompressed
+ *    formats the reference itself writes).
+ *  - Metadata model mirroring the reference Dicom class
+ *    (dicom.cpp:155-310): SOP class/series UIDs, ImagePositionPatient x
+ *    ImageOrientationPatient normal -> slice sort coordinate, dominant
+ *    axes + signs (supports e.g. y-z-plane mammograms), pixel spacing +
+ *    slice thickness -> units.
+ *  - Single-file read incl. multi-frame, 8/16/32-bit signed/unsigned,
+ *    axis-flip copy for negative orientation signs, modality rescale
+ *    slope/intercept (what DCMTK's DiMonoPixel inter-data applies).
+ *  - Directory read: collect *.dcm (ignoring DSOs), sort by coordinate,
+ *    verify same series, even spacing (tol 5e-2), no duplicates
+ *    (dicom.cpp:1152-1366).
+ *  - Write single 8-bit CT-class file with the reference's exact metadata
+ *    (dicom.cpp:1484-1775) and directory write slice-per-file with
+ *    zero-padded names (dicom.cpp:1778-1856).
+ *
+ * C ABI (ctypes-friendly); error codes mirror imutil.h:20-27.
+ */
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <dirent.h>
+#include <random>
+#include <string>
+#include <sys/stat.h>
+#include <vector>
+
+namespace {
+
+// Error codes (keep in sync with the Python binding)
+enum {
+    S3D_SUCCESS = 0,
+    S3D_FAILURE = -1,
+    S3D_FILE_DOES_NOT_EXIST = -2,
+    S3D_UNSUPPORTED_FILE_TYPE = -3,
+    S3D_UNEVEN_SPACING = -4,
+    S3D_INCONSISTENT_AXES = -5,
+    S3D_DUPLICATE_SLICES = -6,
+};
+
+const char *UID_ImplicitLE = "1.2.840.10008.1.2";
+const char *UID_ExplicitLE = "1.2.840.10008.1.2.1";
+const char *UID_CTImageStorage = "1.2.840.10008.5.1.4.1.1.2";
+const char *UID_DSO = "1.2.840.10008.5.1.4.1.1.66.4";
+const char *UID_PET = "1.2.840.10008.5.1.4.1.1.128";
+const char *UID_ROOT = "1.2.826.0.1.3680043.10.1221."; // generated-UID root
+
+struct Tag {
+    uint16_t group, elem;
+    bool operator==(const Tag &o) const {
+        return group == o.group && elem == o.elem;
+    }
+    bool operator<(const Tag &o) const {
+        return group != o.group ? group < o.group : elem < o.elem;
+    }
+};
+
+// Tags we consume
+const Tag kTransferSyntax   {0x0002, 0x0010};
+const Tag kSOPClassUID      {0x0008, 0x0016};
+const Tag kSOPInstanceUID   {0x0008, 0x0018};
+const Tag kSeriesUID        {0x0020, 0x000E};
+const Tag kImagePosition    {0x0020, 0x0032};
+const Tag kImageOrientation {0x0020, 0x0037};
+const Tag kSliceThickness   {0x0018, 0x0050};
+const Tag kSamplesPerPixel  {0x0028, 0x0002};
+const Tag kNumberOfFrames   {0x0028, 0x0008};
+const Tag kRows             {0x0028, 0x0010};
+const Tag kColumns          {0x0028, 0x0011};
+const Tag kPixelSpacing     {0x0028, 0x0030};
+const Tag kBitsAllocated    {0x0028, 0x0100};
+const Tag kPixelRep         {0x0028, 0x0103};
+const Tag kRescaleIntercept {0x0028, 0x1052};
+const Tag kRescaleSlope     {0x0028, 0x1053};
+const Tag kPixelData        {0x7FE0, 0x0010};
+
+char g_err[1024] = {0};
+
+void set_err(const char *fmt, const char *a = "", const char *b = "") {
+    snprintf(g_err, sizeof(g_err), fmt, a, b);
+}
+
+// ---------------------------------------------------------------- parsing
+
+struct Element {
+    Tag tag;
+    std::string vr;           // empty for implicit
+    std::vector<uint8_t> value;
+};
+
+struct Parser {
+    const uint8_t *p, *end;
+    bool explicit_vr = true;
+
+    bool avail(size_t n) const { return (size_t)(end - p) >= n; }
+    uint16_t u16() { uint16_t v; memcpy(&v, p, 2); p += 2; return v; }
+    uint32_t u32() { uint32_t v; memcpy(&v, p, 4); p += 4; return v; }
+
+    // Parse one element header; returns length (0xFFFFFFFF = undefined).
+    bool header(Tag &tag, std::string &vr, uint32_t &len) {
+        if (!avail(8)) return false;
+        tag.group = u16();
+        tag.elem = u16();
+        if (tag.group == 0xFFFE) {      // item / delimiter: no VR ever
+            vr.clear();
+            len = u32();
+            return true;
+        }
+        if (explicit_vr) {
+            char v0 = (char)p[0], v1 = (char)p[1];
+            vr.assign({v0, v1});
+            p += 2;
+            if (vr == "OB" || vr == "OW" || vr == "OF" || vr == "OD" ||
+                vr == "OL" || vr == "SQ" || vr == "UC" || vr == "UR" ||
+                vr == "UT" || vr == "UN") {
+                if (!avail(6)) return false;
+                p += 2;                 // reserved
+                len = u32();
+            } else {
+                if (!avail(2)) return false;
+                len = u16();
+            }
+        } else {
+            vr.clear();
+            len = u32();
+        }
+        return true;
+    }
+
+    // Skip a sequence with undefined length (items until FFFE,E0DD).
+    bool skip_undefined_sq() {
+        for (;;) {
+            Tag t; std::string vr; uint32_t len;
+            if (!header(t, vr, len)) return false;
+            if (t.group == 0xFFFE && t.elem == 0xE0DD) return true;
+            if (t.group == 0xFFFE && t.elem == 0xE000) {
+                if (len == 0xFFFFFFFFu) {
+                    // item with undefined length: nested elements until
+                    // item delimiter FFFE,E00D
+                    for (;;) {
+                        Tag t2; std::string vr2; uint32_t len2;
+                        if (!header(t2, vr2, len2)) return false;
+                        if (t2.group == 0xFFFE && t2.elem == 0xE00D) break;
+                        if (len2 == 0xFFFFFFFFu) {
+                            if (!skip_undefined_sq()) return false;
+                        } else {
+                            if (!avail(len2)) return false;
+                            p += len2;
+                        }
+                    }
+                } else {
+                    if (!avail(len)) return false;
+                    p += len;
+                }
+            } else {
+                return false;           // malformed
+            }
+        }
+    }
+};
+
+struct DcmFile {
+    std::string transfer_syntax;
+    std::string sop_class, series_uid;
+    double im_pos[3] = {0, 0, 0};
+    double im_ori[6] = {1, 0, 0, 0, 1, 0};
+    bool has_ori = false, has_pos = false;
+    double pixel_spacing[2] = {1, 1};
+    bool has_spacing = false;
+    double slice_thickness = 1;
+    bool has_thickness = false;
+    double rescale_slope = 1, rescale_intercept = 0;
+    int rows = 0, cols = 0, frames = 1, nc = 1;
+    int bits_alloc = 8, pixel_rep = 0;
+    std::vector<uint8_t> pixel_data;
+};
+
+std::string trim(const std::string &s) {
+    size_t a = s.find_first_not_of(" \0", 0, 2);
+    size_t b = s.find_last_not_of(" \0", std::string::npos, 2);
+    return a == std::string::npos ? "" : s.substr(a, b - a + 1);
+}
+
+bool parse_multi_double(const std::string &s, double *out, int n) {
+    size_t pos = 0;
+    for (int i = 0; i < n; i++) {
+        size_t next = s.find('\\', pos);
+        std::string part = s.substr(pos, next == std::string::npos
+                                    ? std::string::npos : next - pos);
+        try {
+            out[i] = std::stod(part);
+        } catch (...) {
+            return false;
+        }
+        if (next == std::string::npos && i != n - 1) return false;
+        pos = next + 1;
+    }
+    return true;
+}
+
+int parse_file(const char *path, DcmFile &f, bool want_pixels) {
+    FILE *fp = fopen(path, "rb");
+    if (!fp) { set_err("cannot open %s", path); return S3D_FILE_DOES_NOT_EXIST; }
+    fseek(fp, 0, SEEK_END);
+    long size = ftell(fp);
+    fseek(fp, 0, SEEK_SET);
+    std::vector<uint8_t> buf((size_t)std::max(size, 0L));
+    if (size <= 0 || fread(buf.data(), 1, (size_t)size, fp) != (size_t)size) {
+        fclose(fp);
+        set_err("cannot read %s", path);
+        return S3D_FAILURE;
+    }
+    fclose(fp);
+
+    if (size < 132 + 8 || memcmp(buf.data() + 128, "DICM", 4) != 0) {
+        set_err("%s is not a Part-10 DICOM file", path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+
+    Parser ps{buf.data() + 132, buf.data() + size, true};
+
+    // File meta group (always explicit LE)
+    while (ps.avail(8)) {
+        const uint8_t *save = ps.p;
+        Tag t; std::string vr; uint32_t len;
+        if (!ps.header(t, vr, len)) break;
+        if (t.group != 0x0002) { ps.p = save; break; }
+        if (len == 0xFFFFFFFFu || !ps.avail(len)) {
+            set_err("%s: malformed meta group", path);
+            return S3D_FAILURE;
+        }
+        if (t == kTransferSyntax)
+            f.transfer_syntax = trim(std::string((const char *)ps.p, len));
+        ps.p += len;
+    }
+
+    if (f.transfer_syntax == UID_ImplicitLE) {
+        ps.explicit_vr = false;
+    } else if (f.transfer_syntax == UID_ExplicitLE ||
+               f.transfer_syntax.empty()) {
+        ps.explicit_vr = true;
+    } else {
+        set_err("%s: unsupported transfer syntax %s (only uncompressed "
+                "little-endian is supported)", path,
+                f.transfer_syntax.c_str());
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+
+    while (ps.avail(8)) {
+        Tag t; std::string vr; uint32_t len;
+        if (!ps.header(t, vr, len)) break;
+        if (vr == "SQ" || (len == 0xFFFFFFFFu && !(t == kPixelData))) {
+            if (len == 0xFFFFFFFFu) {
+                if (!ps.skip_undefined_sq()) {
+                    set_err("%s: malformed sequence", path);
+                    return S3D_FAILURE;
+                }
+            } else {
+                if (!ps.avail(len)) break;
+                ps.p += len;
+            }
+            continue;
+        }
+        if (len == 0xFFFFFFFFu || !ps.avail(len)) {
+            set_err("%s: element overruns file", path);
+            return S3D_FAILURE;
+        }
+        const uint8_t *v = ps.p;
+        ps.p += len;
+
+        auto as_str = [&]() { return trim(std::string((const char *)v, len)); };
+        auto as_us = [&]() -> long {
+            // US-valued tags: 2-byte binary under both implicit and
+            // explicit VR (the dictionary VR is US).
+            if (len == 2) { uint16_t x; memcpy(&x, v, 2); return x; }
+            return atol(as_str().c_str());
+        };
+        auto as_int = [&]() -> long {      // IS-valued tags: string
+            return atol(as_str().c_str());
+        };
+
+        if (t == kSOPClassUID) f.sop_class = as_str();
+        else if (t == kSeriesUID) f.series_uid = as_str();
+        else if (t == kImagePosition) {
+            f.has_pos = parse_multi_double(as_str(), f.im_pos, 3);
+        } else if (t == kImageOrientation) {
+            f.has_ori = parse_multi_double(as_str(), f.im_ori, 6);
+        } else if (t == kPixelSpacing) {
+            f.has_spacing = parse_multi_double(as_str(), f.pixel_spacing, 2);
+        } else if (t == kSliceThickness) {
+            f.has_thickness = parse_multi_double(as_str(),
+                                                 &f.slice_thickness, 1);
+        } else if (t == kRescaleSlope) {
+            parse_multi_double(as_str(), &f.rescale_slope, 1);
+        } else if (t == kRescaleIntercept) {
+            parse_multi_double(as_str(), &f.rescale_intercept, 1);
+        } else if (t == kRows) f.rows = (int)as_us();
+        else if (t == kColumns) f.cols = (int)as_us();
+        else if (t == kNumberOfFrames) f.frames = std::max(1, (int)as_int());
+        else if (t == kSamplesPerPixel) f.nc = std::max(1, (int)as_us());
+        else if (t == kBitsAllocated) f.bits_alloc = (int)as_us();
+        else if (t == kPixelRep) f.pixel_rep = (int)as_us();
+        else if (t == kPixelData) {
+            if (want_pixels) f.pixel_data.assign(v, v + len);
+        }
+    }
+
+    if (f.rows <= 0 || f.cols <= 0) {
+        set_err("%s: missing Rows/Columns", path);
+        return S3D_FAILURE;
+    }
+    return S3D_SUCCESS;
+}
+
+// Reference Dicom-class geometry (dicom.cpp:485-563)
+struct Geometry {
+    int axes[2] = {0, 1};      // volume axes of the (col, row) directions
+    int signs[2] = {1, 1};
+    int sort_axis = 2;
+    double sort_coord = 0;
+    double units[3] = {1, 1, 1};
+    double sort_unit = 1;      // slice thickness
+};
+
+int compute_geometry(const DcmFile &f, Geometry &g, const char *path) {
+    const double *o1 = f.im_ori, *o2 = f.im_ori + 3;
+    // normal = o1 x o2
+    double n[3] = {o1[1] * o2[2] - o1[2] * o2[1],
+                   o1[2] * o2[0] - o1[0] * o2[2],
+                   o1[0] * o2[1] - o1[1] * o2[0]};
+    g.sort_coord = f.im_pos[0] * n[0] + f.im_pos[1] * n[1] +
+                   f.im_pos[2] * n[2];
+    double vals[2];
+    for (int k = 0; k < 2; k++) {
+        const double *o = k == 0 ? o1 : o2;
+        int best = 0;
+        for (int i = 1; i < 3; i++)
+            if (std::fabs(o[i]) > std::fabs(o[best])) best = i;
+        g.axes[k] = best;
+        vals[k] = o[best];
+        g.signs[k] = vals[k] >= 0 ? 1 : -1;
+    }
+    if (g.axes[0] == g.axes[1]) {
+        set_err("%s: degenerate ImageOrientationPatient", path);
+        return S3D_FAILURE;
+    }
+    for (int k = 0; k < 3; k++) {
+        if (g.axes[0] != k && g.axes[1] != k) { g.sort_axis = k; break; }
+    }
+    if (f.has_spacing) {
+        if (f.pixel_spacing[0] <= 0 || f.pixel_spacing[1] <= 0) {
+            set_err("%s: invalid pixel spacing", path);
+            return S3D_FAILURE;
+        }
+        g.units[g.axes[0]] = f.pixel_spacing[0];
+        g.units[g.axes[1]] = f.pixel_spacing[1];
+    }
+    if (f.has_thickness) {
+        if (f.slice_thickness <= 0) {
+            set_err("%s: invalid slice thickness", path);
+            return S3D_FAILURE;
+        }
+        g.units[g.sort_axis] = f.slice_thickness;
+        g.sort_unit = f.slice_thickness;
+    }
+    return S3D_SUCCESS;
+}
+
+// Copy decoded pixels into a (nz, ny, nx) float volume with the
+// reference's sign-flip semantics (read_dcm_img, dicom.cpp:867-921).
+int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
+                const char *path) {
+    const int nx = f.cols, ny = f.rows, nz = f.frames;
+    const size_t n = (size_t)nx * ny * nz;
+    if (f.nc != 1) {
+        set_err("%s: only single-channel DICOM is supported", path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    size_t bytes = (size_t)f.bits_alloc / 8 * n;
+    if (f.pixel_data.size() < bytes) {
+        set_err("%s: pixel data too short", path);
+        return S3D_FAILURE;
+    }
+    int dims[3] = {nx, ny, nz};
+    int signs[3] = {1, 1, 1}, offsets[3] = {0, 0, 0};
+    for (int k = 0; k < 2; k++) {
+        if (g.signs[k] > 0) continue;
+        int a = g.axes[k];
+        if (a > 2) continue;
+        signs[a] = -1;
+        offsets[a] = dims[a] - 1;
+    }
+    const double slope = f.rescale_slope, inter = f.rescale_intercept;
+    auto store = [&](int x, int y, int z, double v) {
+        int xi = x * signs[0] + offsets[0];
+        int yi = y * signs[1] + offsets[1];
+        int zi = z * signs[2] + offsets[2];
+        out[(size_t)zi * nx * ny + (size_t)yi * nx + xi] =
+            (float)(v * slope + inter);
+    };
+    const uint8_t *d = f.pixel_data.data();
+    for (int z = 0; z < nz; z++)
+        for (int y = 0; y < ny; y++)
+            for (int x = 0; x < nx; x++) {
+                size_t i = (size_t)z * nx * ny + (size_t)y * nx + x;
+                double v;
+                switch (f.bits_alloc) {
+                case 8:
+                    v = f.pixel_rep ? (double)((const int8_t *)d)[i]
+                                    : (double)d[i];
+                    break;
+                case 16: {
+                    if (f.pixel_rep) {
+                        int16_t x16; memcpy(&x16, d + 2 * i, 2); v = x16;
+                    } else {
+                        uint16_t x16; memcpy(&x16, d + 2 * i, 2); v = x16;
+                    }
+                    break;
+                }
+                case 32: {
+                    if (f.pixel_rep) {
+                        int32_t x32; memcpy(&x32, d + 4 * i, 4); v = x32;
+                    } else {
+                        uint32_t x32; memcpy(&x32, d + 4 * i, 4); v = x32;
+                    }
+                    break;
+                }
+                default:
+                    set_err("%s: unsupported bit depth", path);
+                    return S3D_UNSUPPORTED_FILE_TYPE;
+                }
+                store(x, y, z, v);
+            }
+    return S3D_SUCCESS;
+}
+
+// ------------------------------------------------------------- writing
+
+struct Writer {
+    std::vector<uint8_t> out;
+
+    void raw(const void *p, size_t n) {
+        const uint8_t *b = (const uint8_t *)p;
+        out.insert(out.end(), b, b + n);
+    }
+    void w16(uint16_t v) { raw(&v, 2); }
+    void w32(uint32_t v) { raw(&v, 4); }
+
+    void element(Tag t, const char *vr, const void *val, size_t len) {
+        // pad to even length
+        std::vector<uint8_t> padded((const uint8_t *)val,
+                                    (const uint8_t *)val + len);
+        if (padded.size() % 2)
+            padded.push_back(strcmp(vr, "UI") == 0 ? 0 : ' ');
+        w16(t.group); w16(t.elem);
+        raw(vr, 2);
+        if (!strcmp(vr, "OB") || !strcmp(vr, "OW") || !strcmp(vr, "SQ") ||
+            !strcmp(vr, "UN") || !strcmp(vr, "UT")) {
+            w16(0);
+            w32((uint32_t)padded.size());
+        } else {
+            w16((uint16_t)padded.size());
+        }
+        raw(padded.data(), padded.size());
+    }
+    void str(Tag t, const char *vr, const std::string &s) {
+        element(t, vr, s.data(), s.size());
+    }
+    void us(Tag t, uint16_t v) { element(t, "US", &v, 2); }
+};
+
+std::string gen_uid() {
+    static std::mt19937_64 rng(0x51F73D);
+    std::string s(UID_ROOT);
+    for (int i = 0; i < 20; i++) s += char('0' + rng() % 10);
+    return s;
+}
+
+int write_single(const char *path, const float *data, int nx, int ny,
+                 int nz, double ux, double uy, double uz,
+                 unsigned instance_num, const char *series_uid,
+                 const char *instance_uid, float max_val) {
+    char buf[256];
+
+    // Pixel payload: scale to 8 bits by 255/max (write_dcm_cpp,
+    // dicom.cpp:1712-1745); negative voxels are an error.
+    const size_t n = (size_t)nx * ny * nz;
+    float im_max = max_val;
+    if (im_max < 0.0f) {
+        im_max = 0.0f;
+        for (size_t i = 0; i < n; i++)
+            im_max = std::max(im_max, std::fabs(data[i]));
+    }
+    const float scale = im_max == 0.0f ? 1.0f : 255.0f / im_max;
+    std::vector<uint8_t> pix(n);
+    for (size_t i = 0; i < n; i++) {
+        if (data[i] < 0.0f) {
+            set_err("%s: image cannot be negative", path);
+            return S3D_FAILURE;
+        }
+        pix[i] = (uint8_t)(data[i] * scale);
+    }
+
+    std::string inst_uid = instance_uid && instance_uid[0]
+        ? instance_uid : gen_uid();
+    std::string ser_uid = series_uid && series_uid[0]
+        ? series_uid : gen_uid();
+
+    // File meta group
+    Writer meta;
+    uint8_t ver[2] = {0, 1};
+    meta.element({0x0002, 0x0001}, "OB", ver, 2);
+    meta.str({0x0002, 0x0002}, "UI", UID_CTImageStorage);
+    meta.str({0x0002, 0x0003}, "UI", inst_uid);
+    meta.str({0x0002, 0x0010}, "UI", UID_ExplicitLE);
+    meta.str({0x0002, 0x0012}, "UI", UID_ROOT + std::string("1"));
+
+    Writer w;
+    w.str({0x0008, 0x0008}, "CS", "DERIVED");
+    w.str(kSOPClassUID, "UI", UID_CTImageStorage);
+    w.str(kSOPInstanceUID, "UI", inst_uid);
+    w.str({0x0010, 0x0010}, "PN", "DefaultSIFT3DPatient");
+    w.str({0x0010, 0x0020}, "LO", "DefaultSIFT3DPatientID");
+    w.str({0x0020, 0x000D}, "UI", UID_ROOT + std::string("2"));
+    w.str(kSeriesUID, "UI", ser_uid);
+    w.str({0x0008, 0x103E}, "LO", "Series generated by SIFT3D");
+    snprintf(buf, sizeof(buf), "%u", instance_num);
+    w.str({0x0020, 0x0013}, "IS", buf);
+
+    // Geometry, exactly as the reference writes it (dicom.cpp:1640-1706)
+    const double posx = (double)(nx - 1) * ux;
+    const double posy = (double)(ny - 1) * uy;
+    const double posz = (double)instance_num * uz;
+    snprintf(buf, sizeof(buf), "%f\\%f\\%f", posx, posy, posz);
+    w.str(kImagePosition, "DS", buf);
+    snprintf(buf, sizeof(buf), "%f\\%f\\%f\\%f\\%f\\%f", 1., 0., 0., 0., 1.,
+             0.);
+    w.str(kImageOrientation, "DS", buf);
+    snprintf(buf, sizeof(buf), "%f", posz);
+    w.str({0x0020, 0x1041}, "DS", buf);          // SliceLocation
+    snprintf(buf, sizeof(buf), "%lf\\%lf", ux, uy);
+    w.str(kPixelSpacing, "DS", buf);
+    snprintf(buf, sizeof(buf), "%f", uz);
+    w.str(kSliceThickness, "DS", buf);
+
+    w.us(kSamplesPerPixel, 1);
+    w.str({0x0028, 0x0004}, "CS", "MONOCHROME2");
+    w.str({0x0028, 0x0006}, "CS", "0");          // PlanarConfiguration
+    snprintf(buf, sizeof(buf), "%d", nz);
+    w.str(kNumberOfFrames, "IS", buf);
+    w.us(kRows, (uint16_t)ny);
+    w.us(kColumns, (uint16_t)nx);
+    w.us(kBitsAllocated, 8);
+    w.us({0x0028, 0x0101}, 8);                   // BitsStored
+    w.us({0x0028, 0x0102}, 7);                   // HighBit
+    w.us(kPixelRep, 0);
+    w.element(kPixelData, "OB", pix.data(), pix.size());
+
+    // Group length for the meta group
+    Writer hdr;
+    uint32_t glen = (uint32_t)meta.out.size();
+    hdr.w16(0x0002); hdr.w16(0x0000);
+    hdr.raw("UL", 2); hdr.w16(4); hdr.w32(glen);
+
+    FILE *fp = fopen(path, "wb");
+    if (!fp) { set_err("cannot write %s", path); return S3D_FAILURE; }
+    uint8_t preamble[128] = {0};
+    fwrite(preamble, 1, 128, fp);
+    fwrite("DICM", 1, 4, fp);
+    fwrite(hdr.out.data(), 1, hdr.out.size(), fp);
+    fwrite(meta.out.data(), 1, meta.out.size(), fp);
+    fwrite(w.out.data(), 1, w.out.size(), fp);
+    fclose(fp);
+    return S3D_SUCCESS;
+}
+
+bool ends_with_dcm(const std::string &s) {
+    if (s.size() < 4) return false;
+    std::string e = s.substr(s.size() - 4);
+    for (auto &c : e) c = (char)tolower(c);
+    return e == ".dcm";
+}
+
+struct DirSlice {
+    std::string path;
+    DcmFile f;
+    Geometry g;
+};
+
+int scan_dir(const char *dirpath, std::vector<DirSlice> &slices) {
+    struct stat st;
+    if (stat(dirpath, &st)) {
+        set_err("cannot find %s", dirpath);
+        return S3D_FILE_DOES_NOT_EXIST;
+    }
+    if (!S_ISDIR(st.st_mode)) {
+        set_err("%s is not a directory", dirpath);
+        return S3D_FAILURE;
+    }
+    DIR *dir = opendir(dirpath);
+    if (!dir) { set_err("cannot open %s", dirpath); return S3D_FAILURE; }
+    struct dirent *ent;
+    while ((ent = readdir(dir)) != NULL) {
+        std::string full = std::string(dirpath) + "/" + ent->d_name;
+        if (!ends_with_dcm(full)) continue;
+        DirSlice s;
+        s.path = full;
+        int ret = parse_file(full.c_str(), s.f, false);
+        if (ret != S3D_SUCCESS) { closedir(dir); return ret; }
+        if (s.f.sop_class == UID_DSO) continue;   // ignore DSOs
+        ret = compute_geometry(s.f, s.g, full.c_str());
+        if (ret != S3D_SUCCESS) { closedir(dir); return ret; }
+        slices.push_back(std::move(s));
+    }
+    closedir(dir);
+    if (slices.empty()) {
+        set_err("no DICOM files found in %s", dirpath);
+        return S3D_FAILURE;
+    }
+    std::sort(slices.begin(), slices.end(),
+              [](const DirSlice &a, const DirSlice &b) {
+                  return a.g.sort_coord < b.g.sort_coord;
+              });
+    return S3D_SUCCESS;
+}
+
+// Series validation + output geometry (dcm_resize_im, dicom.cpp:1219-1366)
+int dir_geometry(const std::vector<DirSlice> &slices, int dims[3],
+                 double units[3]) {
+    const DirSlice &first = slices[0];
+    const int sort_axis = first.g.sort_axis;
+    for (size_t i = 1; i < slices.size(); i++) {
+        if (slices[i].f.series_uid != first.f.series_uid) {
+            set_err("%s is from a different series than %s",
+                    slices[i].path.c_str(), first.path.c_str());
+            return S3D_FAILURE;
+        }
+        if (slices[i].g.sort_axis != sort_axis) {
+            set_err("%s is sorted by a different axis than %s",
+                    slices[i].path.c_str(), first.path.c_str());
+            return S3D_INCONSISTENT_AXES;
+        }
+    }
+    for (int k = 0; k < 3; k++) units[k] = first.g.units[k];
+
+    if (slices.size() > 1) {
+        const double tol = 5e-2;
+        const double first_spacing =
+            std::fabs(first.g.sort_coord - slices[1].g.sort_coord);
+        for (size_t i = 0; i + 1 < slices.size(); i++) {
+            const double spacing = std::fabs(
+                slices[i].g.sort_coord - slices[i + 1].g.sort_coord);
+            if (spacing == 0.0) {
+                set_err("%s and %s have duplicate slice coordinates",
+                        slices[i].path.c_str(), slices[i + 1].path.c_str());
+                return S3D_DUPLICATE_SLICES;
+            }
+            if (std::fabs(spacing - first_spacing) > tol) {
+                set_err("%s and %s do not follow the series spacing",
+                        slices[i].path.c_str(), slices[i + 1].path.c_str());
+                return S3D_UNEVEN_SPACING;
+            }
+        }
+        units[sort_axis] = first_spacing;
+    }
+
+    int d[3] = {first.f.cols, first.f.rows, first.f.frames};
+    int n_slice = 0;
+    for (const auto &s : slices) {
+        int sd[3] = {s.f.cols, s.f.rows, s.f.frames};
+        for (int j = 0; j < 2; j++) {
+            int axis = j;   // non-sorting dims checked like the reference
+            if (axis == sort_axis) continue;
+            if (sd[axis] != d[axis]) {
+                set_err("%s has mismatched dimensions vs %s",
+                        s.path.c_str(), first.path.c_str());
+                return S3D_FAILURE;
+            }
+        }
+        n_slice += sd[sort_axis];
+    }
+    d[sort_axis] = n_slice;
+    for (int k = 0; k < 3; k++) dims[k] = d[k];
+    return S3D_SUCCESS;
+}
+
+} // namespace
+
+extern "C" {
+
+const char *s3d_dcm_last_error(void) { return g_err; }
+
+/* Query a single DICOM file: dims4 = {nx, ny, nz, nc}; units3 (mm). */
+int s3d_dcm_query(const char *path, int *dims4, double *units3) {
+    DcmFile f;
+    int ret = parse_file(path, f, false);
+    if (ret != S3D_SUCCESS) return ret;
+    Geometry g;
+    ret = compute_geometry(f, g, path);
+    if (ret != S3D_SUCCESS) return ret;
+    dims4[0] = f.cols; dims4[1] = f.rows; dims4[2] = f.frames;
+    dims4[3] = f.nc;
+    for (int k = 0; k < 3; k++) units3[k] = g.units[k];
+    return S3D_SUCCESS;
+}
+
+/* Read a single DICOM file into out (nz, ny, nx) float32 C-order. */
+int s3d_dcm_read(const char *path, float *out) {
+    DcmFile f;
+    int ret = parse_file(path, f, true);
+    if (ret != S3D_SUCCESS) return ret;
+    Geometry g;
+    ret = compute_geometry(f, g, path);
+    if (ret != S3D_SUCCESS) return ret;
+    return copy_pixels(f, g, out, path);
+}
+
+/* Query a DICOM directory. */
+int s3d_dcm_dir_query(const char *dirpath, int *dims4, double *units3) {
+    std::vector<DirSlice> slices;
+    int ret = scan_dir(dirpath, slices);
+    if (ret != S3D_SUCCESS) return ret;
+    int d[3]; double u[3];
+    ret = dir_geometry(slices, d, u);
+    if (ret != S3D_SUCCESS) return ret;
+    dims4[0] = d[0]; dims4[1] = d[1]; dims4[2] = d[2];
+    dims4[3] = slices[0].f.nc;
+    for (int k = 0; k < 3; k++) units3[k] = u[k];
+    return S3D_SUCCESS;
+}
+
+/* Read a DICOM directory into out (nz, ny, nx) float32, slices stacked
+ * along the sorting axis in coordinate order. */
+int s3d_dcm_dir_read(const char *dirpath, float *out) {
+    std::vector<DirSlice> slices;
+    int ret = scan_dir(dirpath, slices);
+    if (ret != S3D_SUCCESS) return ret;
+    int d[3]; double u[3];
+    ret = dir_geometry(slices, d, u);
+    if (ret != S3D_SUCCESS) return ret;
+    const int sort_axis = slices[0].g.sort_axis;
+    if (sort_axis != 2) {
+        // The reference stacks along any axis via write_subvolume; only
+        // z-stacking is implemented here (x/y-sorted series are rare).
+        set_err("only z-sorted DICOM series are supported (sort axis %s)",
+                sort_axis == 0 ? "x" : "y");
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    size_t plane = (size_t)d[0] * d[1];
+    size_t off = 0;
+    for (auto &s : slices) {
+        DcmFile f;
+        ret = parse_file(s.path.c_str(), f, true);
+        if (ret != S3D_SUCCESS) return ret;
+        ret = copy_pixels(f, s.g, out + off, s.path.c_str());
+        if (ret != S3D_SUCCESS) return ret;
+        off += plane * f.frames;
+    }
+    return S3D_SUCCESS;
+}
+
+/* Write a single multi-frame 8-bit DICOM file. series_uid may be NULL or
+ * empty (a fresh UID is generated); instance_num defaults to 1 when <= 0. */
+int s3d_dcm_write(const char *path, const float *data, int nx, int ny,
+                  int nz, double ux, double uy, double uz,
+                  const char *series_uid, int instance_num) {
+    return write_single(path, data, nx, ny, nz, ux, uy, uz,
+                        instance_num > 0 ? (unsigned)instance_num : 1u,
+                        series_uid ? series_uid : "", "", -1.0f);
+}
+
+/* Write a directory of single-slice DICOM files (%0Nd.dcm). */
+int s3d_dcm_write_dir(const char *dirpath, const float *data, int nx,
+                      int ny, int nz, double ux, double uy, double uz) {
+    struct stat st;
+    if (stat(dirpath, &st)) {
+        if (mkdir(dirpath, 0777)) {
+            set_err("cannot create directory %s", dirpath);
+            return S3D_FAILURE;
+        }
+    }
+    float max_val = 0.0f;
+    size_t n = (size_t)nx * ny * nz;
+    for (size_t i = 0; i < n; i++)
+        max_val = std::max(max_val, std::fabs(data[i]));
+
+    int num_zeros = (int)std::ceil(std::log10((double)std::max(nz, 2)));
+    std::string series = gen_uid();
+    for (int i = 0; i < nz; i++) {
+        char name[64];
+        snprintf(name, sizeof(name), "%0*d.dcm", num_zeros, i);
+        std::string full = std::string(dirpath) + "/" + name;
+        int ret = write_single(full.c_str(), data + (size_t)i * nx * ny,
+                               nx, ny, 1, ux, uy, uz,
+                               (unsigned)(i + 1), series.c_str(),
+                               gen_uid().c_str(), max_val);
+        if (ret != S3D_SUCCESS) return ret;
+    }
+    return S3D_SUCCESS;
+}
+
+} // extern "C"

@@ -1,0 +1,175 @@
+"""DICOM round-trips and validation (Sift3DTest.m:462-512, 536-664 analogs).
+
+The reference environment lacks DCMTK, so (like the reference's own tests)
+these validate write->read round trips and the directory-series rules:
+sorting by position-dot-normal, even spacing, duplicate rejection.
+"""
+
+import numpy as np
+import pytest
+
+from sift3d_tpu.io import (im_read, im_write, DuplicateSlicesError,
+                           UnevenSpacingError)
+from sift3d_tpu.io import dicom
+from sift3d_tpu.io.volume import Volume
+
+
+def _roundtrip_close(back: np.ndarray, orig: np.ndarray):
+    # The writer quantizes to 8 bits: stored = trunc(v * 255 / max).
+    m = float(np.abs(orig).max())
+    np.testing.assert_allclose(back * (m / 255.0), orig,
+                               atol=m / 255.0 + 1e-6)
+
+
+def test_dcm_roundtrip_3d(tmp_path, rng):
+    vol = rng.random((6, 7, 8)).astype(np.float32)
+    path = str(tmp_path / "a.dcm")
+    im_write(path, Volume(vol, (1.5, 2.0, 0.5)))
+    back = im_read(path)
+    assert back.data.shape == (6, 7, 8)
+    assert back.units == (1.5, 2.0, 0.5)
+    _roundtrip_close(back.data, vol)
+
+
+def test_dcm_roundtrip_2d(tmp_path, rng):
+    vol = rng.random((1, 5, 9)).astype(np.float32)
+    path = str(tmp_path / "b.dcm")
+    im_write(path, Volume(vol))
+    back = im_read(path)
+    assert back.data.shape == (1, 5, 9)
+    _roundtrip_close(back.data, vol)
+
+
+def test_dcm_dir_roundtrip(tmp_path, rng):
+    vol = rng.random((5, 6, 7)).astype(np.float32)
+    d = str(tmp_path / "series")
+    dicom.write_dcm_dir(d, Volume(vol, (1.0, 1.0, 2.5)))
+    back = dicom.read_dcm_dir(d)
+    assert back.data.shape == (5, 6, 7)
+    assert back.units == (1.0, 1.0, 2.5)
+    _roundtrip_close(back.data, vol)
+    # Dispatch treats an existing directory as DICOM (imutil.c:1166-1193).
+    back2 = im_read(d)
+    np.testing.assert_array_equal(back2.data, back.data)
+
+
+def test_dcm_dir_slice_order(tmp_path):
+    """Slices must be reassembled by coordinate regardless of file name."""
+    vol = np.zeros((4, 4, 4), np.float32)
+    for z in range(4):
+        vol[z] = z * 10 + 1
+    d = tmp_path / "series"
+    dicom.write_dcm_dir(str(d), Volume(vol))
+    # Rename files in reverse so directory order disagrees with position.
+    files = sorted(d.glob("*.dcm"))
+    for i, f in enumerate(files):
+        f.rename(d / f"tmp{i}.x")
+    for i, f in enumerate(sorted(d.glob("*.x"), reverse=True)):
+        f.rename(d / f"renamed{i}.dcm")
+    back = dicom.read_dcm_dir(str(d))
+    _roundtrip_close(back.data, vol)
+
+
+def test_dcm_dir_duplicate_slices(tmp_path, rng):
+    d = tmp_path / "dup"
+    d.mkdir()
+    sl = rng.random((1, 4, 4)).astype(np.float32)
+    # Same series, same instance number -> identical positions.
+    dicom.write_dcm(str(d / "a.dcm"), Volume(sl), series_uid="1.2.3")
+    dicom.write_dcm(str(d / "b.dcm"), Volume(sl), series_uid="1.2.3")
+    with pytest.raises(DuplicateSlicesError):
+        dicom.read_dcm_dir(str(d))
+
+
+def test_dcm_dir_uneven_spacing(tmp_path, rng):
+    d = tmp_path / "uneven"
+    d.mkdir()
+    sl = rng.random((1, 4, 4)).astype(np.float32)
+    # Positions are instance_num * uz -> coords 1, 2, 4: spacings 1, 2.
+    for name, inum in (("a.dcm", 1), ("b.dcm", 2), ("c.dcm", 4)):
+        dicom.write_dcm(str(d / name), Volume(sl), series_uid="1.2.3",
+                        instance_num=inum)
+    with pytest.raises(UnevenSpacingError):
+        dicom.read_dcm_dir(str(d))
+
+
+def test_dcm_negative_rejected(tmp_path):
+    vol = -np.ones((2, 2, 2), np.float32)
+    with pytest.raises(Exception):
+        dicom.write_dcm(str(tmp_path / "n.dcm"), Volume(vol))
+
+
+def test_dcm_implicit_vr(tmp_path, rng):
+    """Hand-craft an implicit-VR-LE file; the reader must parse it."""
+    import struct
+    nx, ny = 4, 3
+    pix = (rng.random(nx * ny) * 255).astype(np.uint8)
+
+    def elem_implicit(group, el, payload):
+        if len(payload) % 2:
+            payload += b"\x00"
+        return struct.pack("<HHI", group, el, len(payload)) + payload
+
+    def elem_meta(group, el, vr, payload):
+        if len(payload) % 2:
+            payload += b"\x00"
+        return struct.pack("<HH2sH", group, el, vr, len(payload)) + payload
+
+    meta = elem_meta(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2\x00")
+    body = b"".join([
+        elem_implicit(0x0008, 0x0016, b"1.2.840.10008.5.1.4.1.1.2"),
+        elem_implicit(0x0020, 0x000E, b"1.2.3.4"),
+        elem_implicit(0x0020, 0x0032, b"0\\0\\5"),
+        elem_implicit(0x0020, 0x0037, b"1\\0\\0\\0\\1\\0"),
+        elem_implicit(0x0028, 0x0002, struct.pack("<H", 1)),
+        elem_implicit(0x0028, 0x0010, struct.pack("<H", ny)),
+        elem_implicit(0x0028, 0x0011, struct.pack("<H", nx)),
+        elem_implicit(0x0028, 0x0030, b"2.0\\3.0"),
+        elem_implicit(0x0018, 0x0050, b"4.0"),
+        elem_implicit(0x0028, 0x0100, struct.pack("<H", 8)),
+        elem_implicit(0x0028, 0x0103, struct.pack("<H", 0)),
+        elem_implicit(0x7FE0, 0x0010, pix.tobytes()),
+    ])
+    path = str(tmp_path / "imp.dcm")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    v = dicom.read_dcm(path)
+    assert v.data.shape == (1, ny, nx)
+    assert v.units == (2.0, 3.0, 4.0)
+    np.testing.assert_array_equal(v.data[0].ravel(), pix.astype(np.float32))
+
+
+def test_dcm_rescale_slope(tmp_path, rng):
+    """Explicit-VR file with RescaleSlope/Intercept must be scaled."""
+    import struct
+    nx, ny = 3, 2
+    pix = np.arange(nx * ny, dtype=np.uint8)
+
+    def elem(group, el, vr, payload):
+        if len(payload) % 2:
+            payload += b"\x00" if vr == b"UI" else b" "
+        if vr in (b"OB", b"OW", b"UN", b"UT", b"SQ"):
+            return struct.pack("<HH2sHI", group, el, vr, 0,
+                               len(payload)) + payload
+        return struct.pack("<HH2sH", group, el, vr, len(payload)) + payload
+
+    meta = elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    body = b"".join([
+        elem(0x0020, 0x0032, b"DS", b"0\\0\\0"),
+        elem(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"),
+        elem(0x0028, 0x0010, b"US", struct.pack("<H", ny)),
+        elem(0x0028, 0x0011, b"US", struct.pack("<H", nx)),
+        elem(0x0028, 0x0030, b"DS", b"1\\1"),
+        elem(0x0018, 0x0050, b"DS", b"1"),
+        elem(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+        elem(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        elem(0x0028, 0x1052, b"DS", b"-10"),
+        elem(0x0028, 0x1053, b"DS", b"2.5"),
+        elem(0x7FE0, 0x0010, b"OB", pix.tobytes()),
+    ])
+    path = str(tmp_path / "rs.dcm")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    v = dicom.read_dcm(path)
+    want = pix.astype(np.float64) * 2.5 - 10.0
+    np.testing.assert_allclose(v.data[0].ravel(), want.astype(np.float32))
