@@ -1,0 +1,110 @@
+"""Groupwise registration: synthetic solver tests + end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sift3d_tpu.config import RansacParams, SIFT3DParams
+from sift3d_tpu.register.groupwise import groupwise_solve, register_groupwise
+
+from tests.conftest import make_blob_volume
+
+
+def _make_group(rng, n_vol=4, n_pts=80, n_out=15, noise=0.05):
+    """Volumes i hold points p = R_i w + t_i of world points w; volume 0 is
+    the world frame, so the true A_i (vol i -> frame 0) is the inverse."""
+    tforms = []
+    for i in range(n_vol):
+        if i == 0:
+            R, t = np.eye(3), np.zeros(3)
+        else:
+            R = np.eye(3) + rng.normal(0, 0.03, (3, 3))
+            t = rng.normal(0, 5.0, 3)
+        tforms.append((R, t))
+
+    def into(i, w):
+        R, t = tforms[i]
+        return w @ R.T + t
+
+    def true_A(i):
+        R, t = tforms[i]
+        Ri = np.linalg.inv(R)
+        return np.hstack([Ri, -(Ri @ t)[:, None]])
+
+    edges = np.array([(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)])
+    M = n_pts + n_out
+    src = np.zeros((len(edges), M, 3))
+    ref = np.zeros((len(edges), M, 3))
+    counts = np.full(len(edges), M, np.int32)
+    for e, (i, j) in enumerate(edges):
+        w = rng.random((n_pts, 3)) * 100
+        src[e, :n_pts] = into(i, w) + rng.normal(0, noise, (n_pts, 3))
+        ref[e, :n_pts] = into(j, w) + rng.normal(0, noise, (n_pts, 3))
+        # gross outliers
+        src[e, n_pts:] = rng.random((n_out, 3)) * 100
+        ref[e, n_pts:] = rng.random((n_out, 3)) * 100
+    return edges, src, ref, counts, [true_A(i) for i in range(n_vol)]
+
+
+def test_groupwise_solver_recovers_affines(rng):
+    edges, src, ref, counts, want = _make_group(rng)
+    res = groupwise_solve(edges, jnp.asarray(src), jnp.asarray(ref),
+                          jnp.asarray(counts), num_volumes=4,
+                          ransac_params=RansacParams(num_iter=200))
+    assert bool(res.ok), np.asarray(res.edge_inliers)
+    A = np.asarray(res.A)
+    np.testing.assert_allclose(A[0], np.eye(3, 4), atol=0)
+    for i in range(1, 4):
+        np.testing.assert_allclose(A[i][:, :3], want[i][:, :3], atol=5e-2)
+        np.testing.assert_allclose(A[i][:, 3], want[i][:, 3], atol=1.0)
+
+
+def test_groupwise_consistent_with_pairwise_chain(rng):
+    """With exact correspondences, the groupwise solution must equal the
+    chained pairwise transforms."""
+    edges, src, ref, counts, want = _make_group(rng, noise=0.0, n_out=0)
+    res = groupwise_solve(edges, jnp.asarray(src), jnp.asarray(ref),
+                          jnp.asarray(counts), num_volumes=4)
+    A = np.asarray(res.A)
+    for i in range(1, 4):
+        # atol bounded by f32 normal-equation accumulation (tests run
+        # with x64 off; see conftest).
+        np.testing.assert_allclose(A[i], want[i], atol=5e-3)
+
+
+def test_groupwise_end_to_end():
+    """3 shifted copies of a volume: recover the shifts jointly."""
+    from sift3d_tpu.api import Sift3D
+    from sift3d_tpu.features.descriptor import Descriptors
+
+    base = make_blob_volume((48, 48, 48), seed=17)
+    shifts = [(0, 0, 0), (2, -1, 3), (-3, 2, 1)]     # (z, y, x)
+    sift = Sift3D(SIFT3DParams(max_kp_per_level=1024))
+    descs = []
+    for s in shifts:
+        vol = np.roll(base, s, axis=(0, 1, 2))
+        kp = sift.detect(vol)
+        descs.append(sift.extract(kp))
+
+    # Pad descriptor sets to a common capacity and stack.
+    cap = max(d.capacity for d in descs)
+
+    def pad(d):
+        def p(x):
+            w = [(0, cap - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, w)
+        return Descriptors(xyz=p(d.xyz), sd=p(d.sd), vec=p(d.vec),
+                           count=d.count)
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *[pad(d) for d in descs])
+
+    edges = np.array([(0, 1), (1, 2), (0, 2)])
+    res = register_groupwise(batch, edges, (1.0, 1.0, 1.0),
+                             ssd_dtype=jnp.float32)
+    assert bool(res.ok), np.asarray(res.edge_inliers)
+    A = np.asarray(res.A)
+    for i, s in enumerate(shifts):
+        # Volume i holds point w shifted: feature at w (in base/vol 0)
+        # appears at w + shift_xyz in volume i, so A_i translation = -shift.
+        want_t = -np.array([s[2], s[1], s[0]], np.float64) if i else np.zeros(3)
+        np.testing.assert_allclose(A[i][:, :3], np.eye(3), atol=5e-2)
+        np.testing.assert_allclose(A[i][:, 3], want_t, atol=2.0)
