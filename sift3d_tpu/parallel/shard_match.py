@@ -1,0 +1,89 @@
+"""Sharded descriptor matching.
+
+For descriptor sets too large for one chip's memory (the N1 x N2 SSD
+matrix dominates), d2 is sharded over a mesh axis: each shard computes its
+local (N1, N2/S) distance block on the MXU, reduces it to per-query top-2
+(value, index) triples, and the triples are combined across shards with an
+all_gather - the score pass of a ring/AG attention pattern (SURVEY §5.7).
+The backward (d2 -> d1) argmin of the forward-backward check runs locally
+per shard (each shard owns its d2 rows) and is gathered once.
+
+Semantics match features.match.nn_match, with one documented exception:
+exact SSD ties between candidates on different shards may resolve to a
+different index than the reference's strict scan order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..features.match import ssd_matrix, _ratio_accept, _top2_min
+
+
+def nn_match_sharded(d1: jax.Array, d2: jax.Array, nn_thresh: float,
+                     mesh: Mesh, axis_name: str = "space",
+                     valid1: jax.Array | None = None,
+                     valid2: jax.Array | None = None,
+                     dtype=jnp.float32) -> jax.Array:
+    """Match d1 (replicated) against d2 (sharded along rows).
+
+    Args:
+      d1: (N1, 768); d2: (N2, 768), N2 divisible by the axis size.
+      valid1/valid2: optional row-validity masks.
+
+    Returns (N1,) int32 matches (replicated on every shard).
+    """
+    n1, n2 = d1.shape[0], d2.shape[0]
+    n_sh = mesh.shape[axis_name]
+    assert n2 % n_sh == 0, f"N2={n2} not divisible by {n_sh} shards"
+    n2_loc = n2 // n_sh
+    if valid1 is None:
+        valid1 = jnp.ones((n1,), bool)
+    if valid2 is None:
+        valid2 = jnp.ones((n2,), bool)
+
+    def local(d1_r, d2_blk, v1, v2_blk):
+        s = jax.lax.axis_index(axis_name)
+        D = ssd_matrix(d1_r, d2_blk, dtype)           # (N1, n2_loc)
+        inf = jnp.asarray(jnp.inf, D.dtype)
+        D = jnp.where(v2_blk[None, :], D, inf)
+        D = jnp.where(v1[:, None], D, inf)
+
+        # Local forward top-2, with global d2 indices.
+        fidx, fbest, fsecond = _top2_min(D, axis=1)
+        fidx = fidx + s * n2_loc
+
+        # Gather per-shard candidates: (S, N1) each; combine to global
+        # top-2 by stacking each shard's {best, second} and re-reducing.
+        g_best = jax.lax.all_gather(fbest, axis_name)        # (S, N1)
+        g_second = jax.lax.all_gather(fsecond, axis_name)
+        g_idx = jax.lax.all_gather(fidx, axis_name)
+        cand_vals = jnp.concatenate([g_best, g_second], 0)   # (2S, N1)
+        cand_idx = jnp.concatenate([g_idx, jnp.zeros_like(g_idx)], 0)
+        neg, pos = jax.lax.top_k(-cand_vals.T, 2)            # (N1, 2)
+        best = -neg[:, 0]
+        second = -neg[:, 1]
+        best_idx = jnp.take_along_axis(cand_idx.T, pos[:, :1], 1)[:, 0]
+        fwd_ok = _ratio_accept(best, second, nn_thresh)
+
+        # Backward pass: this shard's d2 rows vs all of d1 (local).
+        bidx, bbest, bsecond = _top2_min(D, axis=0)          # (n2_loc,)
+        bwd_ok_l = _ratio_accept(bbest, bsecond, nn_thresh)
+        bwd_idx = jax.lax.all_gather(bidx, axis_name).reshape(n2)
+        bwd_ok = jax.lax.all_gather(bwd_ok_l, axis_name).reshape(n2)
+
+        consistent = (bwd_idx[best_idx] ==
+                      jnp.arange(n1, dtype=jnp.int32)) & bwd_ok[best_idx]
+        any_v2 = jax.lax.all_gather(jnp.any(v2_blk), axis_name)
+        ok = fwd_ok & consistent & v1 & jnp.any(any_v2)
+        return jnp.where(ok, best_idx, -1).astype(jnp.int32)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None), P(axis_name, None), P(None), P(axis_name)),
+        out_specs=P(None),
+        check_vma=False,   # result is replicated by the all_gathers
+    )(d1, d2, valid1, valid2)

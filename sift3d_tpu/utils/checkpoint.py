@@ -1,0 +1,92 @@
+"""Checkpoint / resume for batch registration fleets.
+
+The reference's nearest analog is artifact serialization (keypoint /
+descriptor / transform CSV; SURVEY §5.4). This module makes resumability a
+subsystem: descriptor sets and transforms persist per volume / per pair,
+so a groupwise or batch registration job can be killed and re-launched
+idempotently - the elasticity model for stateless registration work
+(SURVEY §5.3: recovery = re-run the missing shard).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+import numpy as np
+
+from ..features.descriptor import Descriptors
+from ..features.keypoints import Keypoints
+
+
+def save_descriptors(path: str, desc: Descriptors) -> None:
+    """Persist a descriptor set (trimmed to count) as .npz."""
+    n = int(desc.count)
+    np.savez_compressed(path,
+                        xyz=np.asarray(desc.xyz)[:n],
+                        sd=np.asarray(desc.sd)[:n],
+                        vec=np.asarray(desc.vec)[:n])
+
+
+def load_descriptors(path: str, capacity: int | None = None) -> Descriptors:
+    """Load a descriptor set, padding to ``capacity`` (default: count)."""
+    import jax.numpy as jnp
+    z = np.load(path)
+    n = len(z["vec"])
+    cap = capacity or max(n, 1)
+
+    def pad(a):
+        out = np.zeros((cap,) + a.shape[1:], a.dtype)
+        out[:n] = a[:cap]
+        return jnp.asarray(out)
+    return Descriptors(xyz=pad(z["xyz"]), sd=pad(z["sd"]),
+                       vec=pad(z["vec"]),
+                       count=jnp.int32(min(n, cap)))
+
+
+def save_keypoints(path: str, kp: Keypoints) -> None:
+    np.savez_compressed(path, rows=kp.to_numpy(),
+                        s=np.asarray(kp.s)[:int(kp.count)])
+
+
+class RegistrationCheckpoint:
+    """Per-pair transform store with atomic JSON records.
+
+    Usage:
+        ckpt = RegistrationCheckpoint(dir)
+        for pair in pairs:
+            if ckpt.has(pair): continue       # resume: skip finished work
+            ... register ...
+            ckpt.put(pair, A, num_inliers)
+    """
+
+    def __init__(self, directory: str):
+        self.dir = pathlib.Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, key) -> pathlib.Path:
+        name = "_".join(str(k) for k in key) if isinstance(key, (tuple, list)) \
+            else str(key)
+        return self.dir / f"pair_{name}.json"
+
+    def has(self, key) -> bool:
+        return self._path(key).exists()
+
+    def put(self, key, A: np.ndarray, num_inliers: int = -1,
+            ok: bool = True) -> None:
+        rec = {"A": np.asarray(A, np.float64).tolist(),
+               "num_inliers": int(num_inliers), "ok": bool(ok)}
+        p = self._path(key)
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps(rec))
+        os.replace(tmp, p)            # atomic: readers never see partials
+
+    def get(self, key):
+        rec = json.loads(self._path(key).read_text())
+        return (np.asarray(rec["A"], np.float64), rec["num_inliers"],
+                rec["ok"])
+
+    def keys(self):
+        for p in sorted(self.dir.glob("pair_*.json")):
+            yield p.stem[len("pair_"):]
