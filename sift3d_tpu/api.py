@@ -187,6 +187,56 @@ class Sift3D:
         return np.asarray(fn(jnp.asarray(data)))
 
 
+def assign_orientations(im, kp: Keypoints, units=(1.0, 1.0, 1.0),
+                        params: SIFT3DParams = SIFT3DParams()):
+    """Orientations + confidences for keypoints on a raw image
+    (SIFT3D_assign_orientations, sift.c:1534-1607; the orientation3D.m
+    analog). Rejected keypoints get R = I and confidence -1."""
+    from .features.orientation import assign_orientations_raw
+
+    data, vunits = _as_array(im)
+    units = tuple(vunits or units)
+    nz, ny, nx = data.shape[:3]
+    plan = pyr_mod.plan_pyramid((nx, ny, nz), units, params)
+    R, conf = assign_orientations_raw(jnp.asarray(data), kp, units, plan,
+                                      params)
+    return np.asarray(R), np.asarray(conf)
+
+
+def validate_keypoints(kp: Keypoints, dims_xyz=None,
+                       tol: float = 1e-3) -> None:
+    """Keypoint sanity checks mirroring keypoint3D.m / detectValidTest:
+    in-bounds base-octave coordinates and orthogonal, right-handed
+    rotations (Sift3DTest.m:245-274, keypoint3D.m:84-103).
+
+    Raises ValueError on the first violation.
+    """
+    n = int(kp.count)
+    if n == 0:
+        return
+    R = np.asarray(kp.R)[:n]
+    rtr = np.einsum("kij,kil->kjl", R, R)
+    err = np.abs(rtr - np.eye(3)).max(axis=(1, 2))
+    if (err > tol).any():
+        raise ValueError(
+            f"keypoint {int(np.argmax(err > tol))}: R is not orthogonal "
+            f"(|R'R - I| = {err.max():.2e})")
+    det = np.linalg.det(R)
+    if (np.abs(det - 1.0) > tol).any():
+        raise ValueError("rotation matrix determinant != +1 "
+                         "(reflections are invalid orientations)")
+    if dims_xyz is not None:
+        f = 2.0 ** np.asarray(kp.o)[:n]
+        for c, (arr, dim) in enumerate(
+                [(np.asarray(kp.x)[:n], dims_xyz[0]),
+                 (np.asarray(kp.y)[:n], dims_xyz[1]),
+                 (np.asarray(kp.z)[:n], dims_xyz[2])]):
+            base = arr * f
+            if (base < 0).any() or (base > dim - 1).any():
+                raise ValueError(
+                    f"keypoint coordinate axis {c} out of bounds")
+
+
 def match_descriptors(d1: Descriptors, d2: Descriptors,
                       nn_thresh: float = MatchParams().nn_thresh,
                       ssd_dtype=jnp.float32) -> np.ndarray:

@@ -96,7 +96,8 @@ def _window_terms(level, zyx, radii, cores, units, rad, sigma):
 
 def assign_orientations_level(level: jax.Array, zyx: jax.Array,
                               sd: float, units: tuple[float, float, float],
-                              corner_thresh: float, chunk: int = 128):
+                              corner_thresh: float, chunk: int = 128,
+                              return_conf: bool = False):
     """Assign orientations to all keypoints of one level.
 
     Args:
@@ -130,11 +131,53 @@ def assign_orientations_level(level: jax.Array, zyx: jax.Array,
     A6, vd = jax.lax.map(jax.vmap(one), zyx_p.reshape(-1, chunk, 3))
     A6 = A6.reshape(-1, 6)[:K]
     vd = vd.reshape(-1, 3)[:K]
-    return orientations_from_tensor(A6, vd, corner_thresh)
+    R, valid, conf = orientations_from_tensor(A6, vd, corner_thresh,
+                                              return_conf=True)
+    return (R, valid, conf) if return_conf else (R, valid)
+
+
+def assign_orientations_raw(vol: jax.Array, kp, units, plan, params,
+                            chunk: int = 128):
+    """Orientations from a raw image + keypoint list
+    (SIFT3D_assign_orientations, reference sift.c:1534-1607).
+
+    The image is smoothed sigma_n -> sigma0 and scaled; keypoints convert
+    to the base octave (coords x 2^o, sd unchanged) and the structure
+    tensor is computed on the single smoothed image. Rejected keypoints
+    keep R = I with confidence -1, like the reference.
+
+    Returns (R (K, 3, 3) f32, conf (K,) f32).
+    """
+    from .dense import smooth_scale_raw_input
+
+    smoothed = smooth_scale_raw_input(vol, units, params)
+    K = kp.capacity
+    R_out = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
+    conf_out = jnp.full((K,), -1.0, jnp.float32)
+    valid_kp = kp.valid_mask()
+
+    s_start = plan.first_level + 1
+    s_end = plan.last_dog_level - 1
+    for o in range(plan.num_octaves):
+        factor = np.float32(2.0 ** o)
+        for s in range(s_start, s_end + 1):
+            sel = valid_kp & (kp.o == o) & (kp.s == s)
+            zyx = jnp.stack([kp.z, kp.y, kp.x], -1).astype(jnp.float32)
+            zyx_b = jnp.floor(zyx * factor).astype(jnp.int32)
+            geom = plan.gpyr_level(o, s)
+            R, valid, conf = assign_orientations_level(
+                smoothed, zyx_b, geom.scale, units, params.corner_thresh,
+                chunk=chunk, return_conf=True)
+            use = sel & valid
+            R_out = jnp.where(use[:, None, None], R, R_out)
+            conf_out = jnp.where(sel, jnp.where(valid, conf, -1.0),
+                                 conf_out)
+    return R_out, conf_out
 
 
 def orientations_from_tensor(A6: jax.Array, vd: jax.Array,
-                             corner_thresh: float):
+                             corner_thresh: float,
+                             return_conf: bool = False):
     """Eigendecomposition + sign fixing + corner test (sift.c:1430-1492)."""
     axx, axy, axz, ayy, ayz, azz = [A6[:, i] for i in range(6)]
     A = jnp.stack([
@@ -171,4 +214,6 @@ def orientations_from_tensor(A6: jax.Array, vd: jax.Array,
     R = jnp.stack([cols[0], cols[1], v2], axis=-1)  # columns as reference
 
     valid = grad_ok & ~ratio_reject & (corner_score >= corner_thresh)
+    if return_conf:
+        return R, valid, corner_score.astype(jnp.float32)
     return R, valid
