@@ -80,13 +80,16 @@ def _orient_fn(shape_zyx, units, params: SIFT3DParams, caps_key):
 
 
 @functools.lru_cache(maxsize=256)
-def _extract_fn(shape_zyx, units, params: SIFT3DParams, kp_cap: int):
+def _extract_fn(shape_zyx, units, params: SIFT3DParams, kp_cap: int,
+                caps_key=None):
     nz, ny, nx = shape_zyx
     plan = pyr_mod.plan_pyramid((nx, ny, nz), units, params)
+    level_caps = dict(caps_key) if caps_key is not None else None
 
     @jax.jit
     def fn(gpyr, kp):
-        return extract_descriptors(gpyr, kp_head(kp, kp_cap), plan, params)
+        return extract_descriptors(gpyr, kp_head(kp, kp_cap), plan, params,
+                                   level_caps=level_caps)
     return fn
 
 
@@ -161,12 +164,23 @@ class Sift3D:
     def extract(self, kp: Keypoints | None = None) -> Descriptors:
         """Extract descriptors from the stored pyramid
         (SIFT3D_extract_descriptors, sift.c:2025-2046). Keypoint rows are
-        bucketed to pow2(count) before the windowed gathers."""
+        bucketed to pow2(count) globally AND per level, so the windowed
+        gathers scale with the real per-level keypoint counts."""
         if self._gpyr is None:
             raise RuntimeError("call detect() before extract()")
         kp = self._kp if kp is None else kp
-        cap = min(_pow2_cap(int(kp.count)), kp.capacity)
-        fn = _extract_fn(*self._shape_units, self.params, cap)
+        n, o_host, s_host = jax.device_get((kp.count, kp.o, kp.s))
+        n = int(n)
+        cap = min(_pow2_cap(n), kp.capacity)
+        plan = self._plan
+        caps = []
+        for o in range(plan.num_octaves):
+            for s in range(plan.first_level + 1, plan.last_dog_level):
+                c = int(np.sum((o_host[:n] == o) & (s_host[:n] == s)))
+                caps.append(((o, s),
+                             0 if c == 0 else _pow2_cap(c, lo=8, hi=cap)))
+        fn = _extract_fn(*self._shape_units, self.params, cap,
+                         tuple(sorted(caps)))
         return fn(self._gpyr, kp)
 
     def extract_raw(self, im, kp: Keypoints,

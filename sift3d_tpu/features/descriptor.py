@@ -186,32 +186,47 @@ def extract_level(level: jax.Array, centers_zyx: jax.Array, R: jax.Array,
 
     K = centers_zyx.shape[0]
     chunk = min(chunk, K)
-    pad_k = (-K) % chunk
-    c_p = jnp.concatenate(
-        [centers_zyx, jnp.zeros((pad_k, 3), centers_zyx.dtype)])
-    R_p = jnp.concatenate(
-        [R, jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), (pad_k, 3, 3))])
-    raw = jax.lax.map(
-        jax.vmap(one),
-        (c_p.reshape(-1, chunk, 3), R_p.reshape(-1, chunk, 3, 3)))
-    raw = raw.reshape(-1, DESC_NUMEL)[:K]
+    if chunk <= 1:
+        # Sequential map: the window slice stays a true dynamic-slice
+        # (vmapping it lowers to a TPU gather, which is much slower).
+        raw = jax.lax.map(one, (centers_zyx, R))
+    else:
+        pad_k = (-K) % chunk
+        c_p = jnp.concatenate(
+            [centers_zyx, jnp.zeros((pad_k, 3), centers_zyx.dtype)])
+        R_p = jnp.concatenate(
+            [R, jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), (pad_k, 3, 3))])
+        raw = jax.lax.map(
+            jax.vmap(one),
+            (c_p.reshape(-1, chunk, 3), R_p.reshape(-1, chunk, 3, 3)))
+        raw = raw.reshape(-1, DESC_NUMEL)[:K]
     return postprocess(raw)
 
 
 def extract_descriptors(gpyr: dict, kp: Keypoints, plan,
-                        params, chunk: int = 32) -> Descriptors:
+                        params, chunk: int = 32,
+                        level_caps: dict | None = None) -> Descriptors:
     """Descriptors from the detection pyramid (SIFT3D_extract_descriptors,
-    sift.c:2025-2046). Keypoint rows keep their order."""
+    sift.c:2025-2046). Keypoint rows keep their order.
+
+    ``level_caps`` optionally bounds the bucket size per (o, s) level -
+    the host picks pow2-of-actual-count caps (api.Sift3D.extract) so the
+    windowed gathers scale with real per-level keypoint counts.
+    """
     K = kp.capacity
     vec = jnp.zeros((K, DESC_NUMEL), jnp.float32)
     valid = kp.valid_mask()
     s_start = plan.first_level + 1
     s_end = plan.last_dog_level - 1
-    cap = min(params.max_kp_per_level, K)
 
     for o in range(plan.num_octaves):
         units_o = plan.octave_units(o)
         for s in range(s_start, s_end + 1):
+            cap = min(params.max_kp_per_level, K)
+            if level_caps is not None:
+                cap = min(cap, level_caps[(o, s)])
+            if cap <= 0:
+                continue
             sel = valid & (kp.o == o) & (kp.s == s)
             # Compact up to `cap` bucket rows (order preserved).
             pos = jnp.cumsum(sel.astype(jnp.int32)) - 1

@@ -34,6 +34,7 @@
 #include <cstdio>
 #include <cstring>
 #include <dirent.h>
+#include <functional>
 #include <random>
 #include <string>
 #include <sys/stat.h>
@@ -87,6 +88,12 @@ const Tag kPixelRep         {0x0028, 0x0103};
 const Tag kRescaleIntercept {0x0028, 0x1052};
 const Tag kRescaleSlope     {0x0028, 0x1053};
 const Tag kPixelData        {0x7FE0, 0x0010};
+// PET SUV tags (searched into sequences, like DCMTK's searchIntoSub)
+const Tag kPatientWeight    {0x0010, 0x1010};
+const Tag kRadioTotalDose   {0x0018, 0x1074};
+const Tag kRadioStartTime   {0x0018, 0x1072};
+const Tag kRadioHalfLife    {0x0018, 0x1075};
+const Tag kAcquisitionTime  {0x0008, 0x0032};
 
 char g_err[1024] = {0};
 
@@ -187,7 +194,22 @@ struct DcmFile {
     int rows = 0, cols = 0, frames = 1, nc = 1;
     int bits_alloc = 8, pixel_rep = 0;
     std::vector<uint8_t> pixel_data;
+    // PET SUV inputs (dicom.cpp:646-740)
+    double weight = -1, dose = -1, half_life = -1;
+    double radio_start_time = -1, acq_time = -1;
 };
+
+// TM value (HHMMSS.frac) -> seconds (reference parseTM).
+bool parse_tm(const std::string &s, double *out) {
+    if (s.size() < 6) return false;
+    for (int i = 0; i < 6; i++)
+        if (!isdigit((unsigned char)s[i])) return false;
+    double hh = std::stod(s.substr(0, 2));
+    double mm = std::stod(s.substr(2, 2));
+    double ss = std::stod(s.substr(4));
+    *out = hh * 3600.0 + mm * 60.0 + ss;
+    return true;
+}
 
 std::string trim(const std::string &s) {
     size_t a = s.find_first_not_of(" \0", 0, 2);
@@ -260,38 +282,32 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
 
-    while (ps.avail(8)) {
-        Tag t; std::string vr; uint32_t len;
-        if (!ps.header(t, vr, len)) break;
-        if (vr == "SQ" || (len == 0xFFFFFFFFu && !(t == kPixelData))) {
-            if (len == 0xFFFFFFFFu) {
-                if (!ps.skip_undefined_sq()) {
-                    set_err("%s: malformed sequence", path);
-                    return S3D_FAILURE;
-                }
-            } else {
-                if (!ps.avail(len)) break;
-                ps.p += len;
-            }
-            continue;
-        }
-        if (len == 0xFFFFFFFFu || !ps.avail(len)) {
-            set_err("%s: element overruns file", path);
-            return S3D_FAILURE;
-        }
-        const uint8_t *v = ps.p;
-        ps.p += len;
-
+    // Element consumer; depth > 0 means inside a sequence item, where
+    // only the sequence-searchable SUV tags are consumed (the DCMTK
+    // searchIntoSub behavior, dicom.cpp:669-726).
+    auto consume = [&](Tag t, const std::string &vr, const uint8_t *v,
+                       uint32_t len, int depth) {
         auto as_str = [&]() { return trim(std::string((const char *)v, len)); };
         auto as_us = [&]() -> long {
-            // US-valued tags: 2-byte binary under both implicit and
-            // explicit VR (the dictionary VR is US).
             if (len == 2) { uint16_t x; memcpy(&x, v, 2); return x; }
             return atol(as_str().c_str());
         };
-        auto as_int = [&]() -> long {      // IS-valued tags: string
-            return atol(as_str().c_str());
-        };
+        auto as_int = [&]() -> long { return atol(as_str().c_str()); };
+        (void)vr;
+
+        // Searched at any depth:
+        if (t == kPatientWeight)
+            parse_multi_double(as_str(), &f.weight, 1);
+        else if (t == kRadioTotalDose)
+            parse_multi_double(as_str(), &f.dose, 1);
+        else if (t == kRadioHalfLife)
+            parse_multi_double(as_str(), &f.half_life, 1);
+        else if (t == kRadioStartTime)
+            parse_tm(as_str(), &f.radio_start_time);
+        else if (t == kAcquisitionTime)
+            parse_tm(as_str(), &f.acq_time);
+        if (depth > 0)
+            return;
 
         if (t == kSOPClassUID) f.sop_class = as_str();
         else if (t == kSeriesUID) f.series_uid = as_str();
@@ -317,6 +333,74 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
         else if (t == kPixelData) {
             if (want_pixels) f.pixel_data.assign(v, v + len);
         }
+    };
+
+    // Walk elements, descending into sequences. Returns false on a
+    // malformed stream. stop_tag: FFFE,E00D (item end) / FFFE,E0DD
+    // (sequence end) terminate the enclosing scope.
+    std::function<bool(Parser &, int)> walk = [&](Parser &pr,
+                                                  int depth) -> bool {
+        while (pr.avail(8)) {
+            Tag t; std::string vr; uint32_t len;
+            if (!pr.header(t, vr, len)) return depth == 0;
+            if (t.group == 0xFFFE &&
+                (t.elem == 0xE00D || t.elem == 0xE0DD))
+                return true;                      // end of this scope
+            const bool is_sq = vr == "SQ" ||
+                (len == 0xFFFFFFFFu && !(t == kPixelData));
+            if (is_sq) {
+                if (len == 0xFFFFFFFFu) {
+                    // Items until the FFFE,E0DD delimiter.
+                    for (;;) {
+                        Tag it; std::string ivr; uint32_t ilen;
+                        if (!pr.header(it, ivr, ilen)) return false;
+                        if (it.group == 0xFFFE && it.elem == 0xE0DD) break;
+                        if (!(it.group == 0xFFFE && it.elem == 0xE000))
+                            return false;
+                        if (ilen == 0xFFFFFFFFu) {
+                            if (!walk(pr, depth + 1)) return false;
+                        } else {
+                            if (!pr.avail(ilen)) return false;
+                            Parser sub{pr.p, pr.p + ilen, pr.explicit_vr};
+                            if (!walk(sub, depth + 1)) return false;
+                            pr.p += ilen;
+                        }
+                    }
+                } else {
+                    if (!pr.avail(len)) return false;
+                    Parser sub{pr.p, pr.p + len, pr.explicit_vr};
+                    // Items with defined lengths inside; walk handles
+                    // the FFFE,E000 headers as plain elements below.
+                    for (;;) {
+                        Tag it; std::string ivr; uint32_t ilen;
+                        if (!sub.avail(8)) break;
+                        if (!sub.header(it, ivr, ilen)) break;
+                        if (!(it.group == 0xFFFE && it.elem == 0xE000))
+                            break;
+                        if (ilen == 0xFFFFFFFFu) {
+                            if (!walk(sub, depth + 1)) return false;
+                        } else {
+                            if (!sub.avail(ilen)) break;
+                            Parser isub{sub.p, sub.p + ilen,
+                                        sub.explicit_vr};
+                            if (!walk(isub, depth + 1)) return false;
+                            sub.p += ilen;
+                        }
+                    }
+                    pr.p += len;
+                }
+                continue;
+            }
+            if (len == 0xFFFFFFFFu || !pr.avail(len)) return false;
+            consume(t, vr, pr.p, len, depth);
+            pr.p += len;
+        }
+        return true;
+    };
+
+    if (!walk(ps, 0)) {
+        set_err("%s: malformed element stream", path);
+        return S3D_FAILURE;
     }
 
     if (f.rows <= 0 || f.cols <= 0) {
@@ -404,13 +488,30 @@ int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
         signs[a] = -1;
         offsets[a] = dims[a] - 1;
     }
+    // PET modality post-processing: SUV multiplier (dicom.cpp:646-740).
+    double suv = 1.0;
+    if (f.sop_class == UID_PET) {
+        if (f.weight < 0 || f.dose < 0 || f.half_life <= 0 ||
+            f.radio_start_time < 0 || f.acq_time < 0) {
+            set_err("%s: PET image is missing SUV metadata (weight/dose/"
+                    "half-life/times)", path);
+            return S3D_FAILURE;
+        }
+        double elapsed = f.radio_start_time - f.acq_time;
+        if (elapsed < 0)
+            elapsed += 24.0 * 60.0 * 60.0;
+        const double adjusted = f.dose * std::pow(2.0, -elapsed /
+                                                  f.half_life);
+        suv = f.weight / adjusted;
+    }
+
     const double slope = f.rescale_slope, inter = f.rescale_intercept;
     auto store = [&](int x, int y, int z, double v) {
         int xi = x * signs[0] + offsets[0];
         int yi = y * signs[1] + offsets[1];
         int zi = z * signs[2] + offsets[2];
         out[(size_t)zi * nx * ny + (size_t)yi * nx + xi] =
-            (float)(v * slope + inter);
+            (float)((v * slope + inter) * suv);
     };
     const uint8_t *d = f.pixel_data.data();
     for (int z = 0; z < nz; z++)

@@ -25,6 +25,25 @@ def factor_devices(n: int, max_space: int = 4) -> tuple[int, int]:
     return n // space, space
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize JAX multi-host execution (DCN analog, SURVEY §5.8).
+
+    A thin wrapper over jax.distributed.initialize: after this,
+    jax.devices() spans all hosts and make_mesh() builds a global mesh
+    whose "data" axis crosses hosts (volume-corpus sharding) while
+    "space" stays within a host's ICI domain. No-ops under a single
+    process so the same launch script works everywhere.
+    """
+    import jax
+    if num_processes in (None, 1) and coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(devices=None, data: int | None = None,
               space: int | None = None) -> Mesh:
     """Build a (data, space) mesh over the given (or all) devices."""

@@ -139,6 +139,59 @@ def test_dcm_implicit_vr(tmp_path, rng):
     np.testing.assert_array_equal(v.data[0].ravel(), pix.astype(np.float32))
 
 
+def test_dcm_pet_suv(tmp_path):
+    """PET images are scaled by the SUV multiplier, with the dose tags
+    found inside the RadiopharmaceuticalInformationSequence
+    (dicom.cpp:646-740, DCMTK searchIntoSub behavior)."""
+    import struct
+    nx, ny = 2, 2
+    pix = np.array([10, 20, 30, 40], np.uint8)
+
+    def elem(group, el, vr, payload):
+        if len(payload) % 2:
+            payload += b"\x00" if vr == b"UI" else b" "
+        if vr in (b"OB", b"OW", b"UN", b"UT", b"SQ"):
+            return struct.pack("<HH2sHI", group, el, vr, 0,
+                               len(payload)) + payload
+        return struct.pack("<HH2sH", group, el, vr, len(payload)) + payload
+
+    # Sequence item holding dose, half-life, start time
+    item_body = b"".join([
+        elem(0x0018, 0x1072, b"TM", b"100000"),      # injected 10:00:00
+        elem(0x0018, 0x1074, b"DS", b"400000000"),   # dose
+        elem(0x0018, 0x1075, b"DS", b"6586.2"),      # F-18 half-life
+    ])
+    item = struct.pack("<HHI", 0xFFFE, 0xE000, len(item_body)) + item_body
+    seq = elem(0x0054, 0x0016, b"SQ", item)
+
+    meta = elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    body = b"".join([
+        elem(0x0008, 0x0016, b"UI", b"1.2.840.10008.5.1.4.1.1.128"),
+        elem(0x0008, 0x0032, b"TM", b"110000"),      # acquired 11:00:00
+        elem(0x0010, 0x1010, b"DS", b"70"),          # weight kg
+        seq,
+        elem(0x0020, 0x0032, b"DS", b"0\\0\\0"),
+        elem(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"),
+        elem(0x0028, 0x0010, b"US", struct.pack("<H", ny)),
+        elem(0x0028, 0x0011, b"US", struct.pack("<H", nx)),
+        elem(0x0028, 0x0030, b"DS", b"1\\1"),
+        elem(0x0018, 0x0050, b"DS", b"1"),
+        elem(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+        elem(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        elem(0x7FE0, 0x0010, b"OB", pix.tobytes()),
+    ])
+    path = str(tmp_path / "pet.dcm")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    v = dicom.read_dcm(path)
+    # Reference formula: elapsed = start - acq (< 0 -> + 1 day).
+    elapsed = (10 * 3600 - 11 * 3600) + 24 * 3600
+    adjusted = 400000000 * 2.0 ** (-elapsed / 6586.2)
+    suv = 70 / adjusted
+    np.testing.assert_allclose(v.data[0].ravel(),
+                               pix.astype(np.float64) * suv, rtol=1e-5)
+
+
 def test_dcm_rescale_slope(tmp_path, rng):
     """Explicit-VR file with RescaleSlope/Intercept must be scaled."""
     import struct
