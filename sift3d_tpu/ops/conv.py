@@ -97,11 +97,26 @@ def unit_half_width(taps_len: int, unit: float, unit_dim: float) -> int:
 
 
 def conv_axis(vol: jax.Array, W: jax.Array | np.ndarray, axis: int) -> jax.Array:
-    """Apply a 1-D convolution matrix along ``axis`` of ``vol``."""
+    """Apply a 1-D convolution matrix along ``axis`` of ``vol``.
+
+    Uses dot_general with the output dimension in place (no moveaxis):
+    tensordot + moveaxis would lower to an explicit transpose on TPU,
+    costing a full extra HBM round trip per pass.
+    """
     W = jnp.asarray(W, dtype=vol.dtype)
-    out = jnp.tensordot(W, vol, axes=([1], [axis]),
-                        precision=jax.lax.Precision.HIGHEST)
-    return jnp.moveaxis(out, 0, axis)
+    axis = axis % vol.ndim
+    if axis == vol.ndim - 1:
+        # (..., j) x (i, j) -> (..., i): output already in place.
+        dn = (((axis,), (1,)), ((), ()))
+        return jax.lax.dot_general(vol, W, dn,
+                                   precision=jax.lax.Precision.HIGHEST)
+    # Batched matmul: leading dims are batch, W broadcast per batch.
+    # Output = batch + (n_out,) + trailing = original layout, in place.
+    batch = tuple(range(axis))
+    Wb = jnp.broadcast_to(W, vol.shape[:axis] + W.shape)
+    dn = (((axis + 2 - 1,), (axis,)), (batch, batch))
+    return jax.lax.dot_general(Wb, vol, dn,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def conv_sep(vol: jax.Array, taps: np.ndarray, unit: float,
