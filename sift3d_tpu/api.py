@@ -183,6 +183,18 @@ class Sift3D:
                          tuple(sorted(caps)))
         return fn(self._gpyr, kp)
 
+    def detect_and_extract(self, im, units=(1.0, 1.0, 1.0)):
+        """Detect + extract in one call. Returns (Keypoints, Descriptors).
+
+        Runs the two-stage path: extraction buckets size themselves from
+        the *oriented* per-level counts, which measured faster than fusing
+        orientation + extraction into one program under the looser
+        extrema-count capacities (8.4M vs 6.6M voxel/s on the TPU bench) -
+        the saved dispatch did not pay for the ~4x larger extract buckets.
+        """
+        kp = self.detect(im, units)
+        return kp, self.extract(kp)
+
     def extract_raw(self, im, kp: Keypoints,
                     units=(1.0, 1.0, 1.0)) -> Descriptors:
         """Descriptors from a raw image + keypoint list
@@ -294,8 +306,8 @@ class RegSift3D:
         self.ransac_params = ransac_params
 
     def _detect_extract(self, im, units):
-        kp = self.sift.detect(im, units)
-        return self.sift.extract(kp)
+        _, desc = self.sift.detect_and_extract(im, units)
+        return desc
 
     def register(self, src, ref, src_units=(1.0, 1.0, 1.0),
                  ref_units=(1.0, 1.0, 1.0), resample: bool = False,

@@ -55,3 +55,16 @@ def test_validate_keypoints_rejects_bad_rotation():
     kp.R = jnp.asarray(R)
     with pytest.raises(ValueError):
         validate_keypoints(kp)
+
+
+def test_detect_and_extract_matches_two_stage():
+    """The fused path must produce the same descriptors as detect+extract."""
+    vol = make_blob_volume((32, 32, 32), seed=9)
+    sift = Sift3D(SIFT3DParams(max_kp_per_level=1024))
+    kp1 = sift.detect(vol)
+    d1 = sift.extract(kp1)
+    kp2, d2 = sift.detect_and_extract(vol)
+    n = int(kp1.count)
+    assert int(kp2.count) == n
+    r1, r2 = d1.to_numpy()[:n], d2.to_numpy()[:n]
+    np.testing.assert_allclose(r2, r1, atol=0)
