@@ -263,6 +263,28 @@ def validate_keypoints(kp: Keypoints, dims_xyz=None,
                     f"keypoint coordinate axis {c} out of bounds")
 
 
+def descriptors_from_rows(rows: np.ndarray,
+                          capacity: int | None = None) -> Descriptors:
+    """Rebuild a Descriptors set from CSV rows [x y z el0..el767]
+    (SIFT3D_Descriptor_store_from_Mat_rm, sift.c:2721-2768) - enables the
+    matchSift3D workflow of matching precomputed descriptor files."""
+    rows = np.asarray(rows)
+    if rows.ndim != 2 or rows.shape[1] != 771:
+        raise ValueError(f"descriptor rows must be (N, 771), got "
+                         f"{rows.shape}")
+    n = len(rows)
+    cap = capacity or max(n, 1)
+
+    def pad(a, dtype):
+        out = np.zeros((cap,) + a.shape[1:], dtype)
+        out[:min(n, cap)] = a[:cap]
+        return jnp.asarray(out)
+    return Descriptors(xyz=pad(rows[:, :3], np.float64),
+                       sd=jnp.zeros((cap,), jnp.float32),
+                       vec=pad(rows[:, 3:], np.float32),
+                       count=jnp.int32(min(n, cap)))
+
+
 def match_descriptors(d1: Descriptors, d2: Descriptors,
                       nn_thresh: float = MatchParams().nn_thresh,
                       ssd_dtype=jnp.float32) -> np.ndarray:

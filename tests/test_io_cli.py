@@ -145,3 +145,21 @@ def test_cli_dense_smoke(tmp_path):
     for c in range(12):
         v = im_read(str(tmp_path / f"out{c}.nii"))
         assert v.data.shape == (12, 12, 12)
+
+
+def test_match_from_descriptor_csv(tmp_path, rng):
+    """matchSift3D workflow: match descriptors reloaded from CSV files."""
+    from sift3d_tpu.api import descriptors_from_rows, match_descriptors
+    d1 = rng.random((20, 768)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 = np.concatenate([d1[:10], rng.random((15, 768)).astype(np.float32)])
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    rows1 = np.concatenate([rng.random((20, 3)), d1], axis=1)
+    rows2 = np.concatenate([rng.random((25, 3)), d2], axis=1)
+    p1, p2 = str(tmp_path / "d1.csv"), str(tmp_path / "d2.csv")
+    write_descriptors(p1, rows1.astype(np.float32))
+    write_descriptors(p2, rows2.astype(np.float32))
+    D1 = descriptors_from_rows(read_descriptors(p1))
+    D2 = descriptors_from_rows(read_descriptors(p2), capacity=32)
+    m = match_descriptors(D1, D2)
+    assert (m[:10] == np.arange(10)).all()
