@@ -3,7 +3,8 @@
 Runs the kpSift3D-equivalent pipeline (scale-space -> DoG -> extrema ->
 orientation -> descriptors; SURVEY §3.1) on a synthetic 128^3 volume and
 reports voxels/second through the full pipeline (host input -> device ->
-padded descriptor set), steady state, best of 5.
+padded descriptor set), steady state, min of 10 timed runs (the tunneled
+TPU adds up to 2x run-to-run jitter; BASELINE.md cites this protocol).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 

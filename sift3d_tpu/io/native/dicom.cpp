@@ -346,8 +346,20 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
             if (t.group == 0xFFFE &&
                 (t.elem == 0xE00D || t.elem == 0xE0DD))
                 return true;                      // end of this scope
+            // Implicit VR gives no "SQ" marker for defined-length
+            // sequences; detect them by peeking for an item header
+            // (FFFE,E000) at the value start, so tags nested inside
+            // e.g. RadiopharmaceuticalInformationSequence are still
+            // found (DCMTK searchIntoSub reaches them regardless of
+            // VR encoding; reference dicom.cpp:669-726).
+            const bool implicit_defined_sq =
+                !pr.explicit_vr && vr.empty() && len != 0xFFFFFFFFu &&
+                !(t == kPixelData) && len >= 8 && pr.avail(8) &&
+                pr.p[0] == 0xFE && pr.p[1] == 0xFF &&
+                pr.p[2] == 0x00 && pr.p[3] == 0xE0;
             const bool is_sq = vr == "SQ" ||
-                (len == 0xFFFFFFFFu && !(t == kPixelData));
+                (len == 0xFFFFFFFFu && !(t == kPixelData)) ||
+                implicit_defined_sq;
             if (is_sq) {
                 if (len == 0xFFFFFFFFu) {
                     // Items until the FFFE,E0DD delimiter.
@@ -783,8 +795,10 @@ int dir_geometry(const std::vector<DirSlice> &slices, int dims[3],
     int n_slice = 0;
     for (const auto &s : slices) {
         int sd[3] = {s.f.cols, s.f.rows, s.f.frames};
-        for (int j = 0; j < 2; j++) {
-            int axis = j;   // non-sorting dims checked like the reference
+        for (int axis = 0; axis < 3; axis++) {
+            // Every non-sorting dim must agree - including the frames
+            // axis when the series is x/y-sorted, so query and read
+            // agree on which series are valid.
             if (axis == sort_axis) continue;
             if (sd[axis] != d[axis]) {
                 set_err("%s has mismatched dimensions vs %s",

@@ -46,6 +46,7 @@ class RansacResult:
     num_inliers: jax.Array  # () i32
     inlier_mask: jax.Array  # (N,) bool over the padded match rows
     ok: jax.Array           # () bool - >= 5 inliers found
+    effective_iters: jax.Array  # () i32 non-singular hypotheses actually run
 
 
 def _homogeneous(pts: jax.Array) -> jax.Array:
@@ -141,8 +142,13 @@ def find_tform_ransac(src: jax.Array, ref: jax.Array, count: jax.Array,
 
     # Keep only the first num_iter non-singular hypotheses, emulating the
     # reference's retry-until-nonsingular loop with a fixed iteration count.
+    # ``effective_iters`` reports how many actually ran: on degenerate
+    # geometry (near-coplanar keypoints) more than half the oversampled
+    # draws can be singular, silently leaving < num_iter iterations -
+    # callers can inspect the shortfall instead of trusting num_iter.
     rank = jnp.cumsum(nonsingular.astype(jnp.int32)) - 1
     active = nonsingular & (rank < params.num_iter)
+    effective_iters = jnp.sum(active.astype(jnp.int32))
 
     valid_pt = jnp.arange(n_cap) < count
     # Batched consensus: (H, N) errors.
@@ -166,4 +172,5 @@ def find_tform_ransac(src: jax.Array, ref: jax.Array, count: jax.Array,
 
     return RansacResult(A=A_final,
                         num_inliers=len_best.astype(jnp.int32),
-                        inlier_mask=best_mask, ok=ok)
+                        inlier_mask=best_mask, ok=ok,
+                        effective_iters=effective_iters)

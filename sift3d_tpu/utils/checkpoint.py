@@ -50,6 +50,29 @@ def save_keypoints(path: str, kp: Keypoints) -> None:
                         s=np.asarray(kp.s)[:int(kp.count)])
 
 
+def load_keypoints(path: str, capacity: int | None = None) -> Keypoints:
+    """Inverse of :func:`save_keypoints`, padding to ``capacity``."""
+    import jax.numpy as jnp
+    from ..dtypes import f64
+    z = np.load(path)
+    rows, s = z["rows"], z["s"]
+    n = len(rows)
+    cap = capacity or max(n, 1)
+
+    def pad(a, dtype):
+        out = np.zeros((cap,) + a.shape[1:], dtype)
+        out[:n] = a[:cap]
+        return jnp.asarray(out)
+    return Keypoints(
+        x=pad(rows[:, 0], f64()), y=pad(rows[:, 1], f64()),
+        z=pad(rows[:, 2], f64()),
+        o=pad(rows[:, 3].astype(np.int32), np.int32),
+        s=pad(s.astype(np.int32), np.int32),
+        sd=pad(rows[:, 4], f64()),
+        R=pad(rows[:, 5:].reshape(n, 3, 3), np.float32),
+        count=jnp.int32(min(n, cap)))
+
+
 class RegistrationCheckpoint:
     """Per-pair transform store with atomic JSON records.
 

@@ -192,6 +192,59 @@ def test_dcm_pet_suv(tmp_path):
                                pix.astype(np.float64) * suv, rtol=1e-5)
 
 
+def test_dcm_pet_suv_implicit_vr(tmp_path):
+    """Implicit-VR PET: the RadiopharmaceuticalInformationSequence has a
+    *defined* length and no VR marker; the parser must still descend into
+    it (DCMTK searchIntoSub reaches nested tags regardless of encoding)."""
+    import struct
+    nx, ny = 2, 2
+    pix = np.array([10, 20, 30, 40], np.uint8)
+
+    def elem(group, el, payload):
+        if len(payload) % 2:
+            payload += b"\x00"
+        return struct.pack("<HHI", group, el, len(payload)) + payload
+
+    def elem_meta(group, el, vr, payload):
+        if len(payload) % 2:
+            payload += b"\x00"
+        return struct.pack("<HH2sH", group, el, vr, len(payload)) + payload
+
+    item_body = b"".join([
+        elem(0x0018, 0x1072, b"100000"),       # injected 10:00:00
+        elem(0x0018, 0x1074, b"400000000"),    # dose
+        elem(0x0018, 0x1075, b"6586.2"),       # F-18 half-life
+    ])
+    item = struct.pack("<HHI", 0xFFFE, 0xE000, len(item_body)) + item_body
+    seq = elem(0x0054, 0x0016, item)           # defined-length implicit SQ
+
+    meta = elem_meta(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2\x00")
+    body = b"".join([
+        elem(0x0008, 0x0016, b"1.2.840.10008.5.1.4.1.1.128"),
+        elem(0x0008, 0x0032, b"110000"),       # acquired 11:00:00
+        elem(0x0010, 0x1010, b"70"),           # weight kg
+        seq,
+        elem(0x0020, 0x0032, b"0\\0\\0"),
+        elem(0x0020, 0x0037, b"1\\0\\0\\0\\1\\0"),
+        elem(0x0028, 0x0010, struct.pack("<H", ny)),
+        elem(0x0028, 0x0011, struct.pack("<H", nx)),
+        elem(0x0028, 0x0030, b"1\\1"),
+        elem(0x0018, 0x0050, b"1"),
+        elem(0x0028, 0x0100, struct.pack("<H", 8)),
+        elem(0x0028, 0x0103, struct.pack("<H", 0)),
+        elem(0x7FE0, 0x0010, pix.tobytes()),
+    ])
+    path = str(tmp_path / "pet_imp.dcm")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    v = dicom.read_dcm(path)
+    elapsed = (10 * 3600 - 11 * 3600) + 24 * 3600
+    adjusted = 400000000 * 2.0 ** (-elapsed / 6586.2)
+    suv = 70 / adjusted
+    np.testing.assert_allclose(v.data[0].ravel(),
+                               pix.astype(np.float64) * suv, rtol=1e-5)
+
+
 def test_dcm_rescale_slope(tmp_path, rng):
     """Explicit-VR file with RescaleSlope/Intercept must be scaled."""
     import struct

@@ -90,6 +90,20 @@ def test_ransac_recovers_ground_truth(rng):
     np.testing.assert_allclose(A[:, :3], A_true[:, :3], atol=5e-2)
     np.testing.assert_allclose(A[:, 3], A_true[:, 3], atol=1.0)
     assert int(res.num_inliers) >= 50
+    # Healthy geometry: the oversampled batch covers the full num_iter.
+    assert int(res.effective_iters) == RansacParams().num_iter
+
+
+def test_ransac_effective_iters_underflow(rng):
+    """Near-coplanar points make most 4-point draws singular; the result
+    must report the shortfall instead of silently under-iterating."""
+    n = 40
+    ref = rng.random((n, 3)) * 100
+    ref[:, 2] = 5.0 + rng.normal(0, 1e-12, n)   # coplanar in z
+    src = ref + 1.0
+    res = find_tform_ransac(jnp.asarray(src), jnp.asarray(ref),
+                            jnp.int32(n), RansacParams())
+    assert int(res.effective_iters) < RansacParams().num_iter
 
 
 def test_ransac_vs_oracle(oracle, rng):
