@@ -87,12 +87,22 @@ class RansacParams:
 
 @dataclasses.dataclass(frozen=True)
 class MatchParams:
-    """Matching parameters (reference reg.c:24)."""
+    """Matching parameters (reference reg.c:24).
+
+    ``impl`` selects the matcher kernel: "xla" materializes the (N1, N2)
+    SSD matrix (fine at small scale), "streamed" uses the Pallas
+    streaming reduction (O(N1 + N2) HBM), "auto" picks streamed on TPU
+    once the SSD matrix would exceed ``streamed_threshold`` entries.
+    """
     nn_thresh: float = 0.8
+    impl: str = "auto"
+    streamed_threshold: int = 4 * 1024 * 1024   # SSD entries (16 MB f32)
 
     def validate(self) -> None:
         if self.nn_thresh <= 0 or self.nn_thresh > 1:
             raise ValueError(f"invalid nn_thresh: {self.nn_thresh}")
+        if self.impl not in ("auto", "xla", "streamed"):
+            raise ValueError(f"invalid match impl: {self.impl}")
 
 
 def num_octaves_for_dims(nx: int, ny: int, nz: int) -> int:

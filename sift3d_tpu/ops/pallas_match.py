@@ -2,19 +2,27 @@
 
 The XLA matcher (features/match.py) materializes the (N1, N2) SSD matrix
 in HBM before reducing it to top-2 candidates - fine for thousands of
-descriptors, quadratic memory at scale. This kernel streams d2 through
-VMEM in blocks: each grid step computes one (N1, B) distance block on the
-MXU and folds it into a running top-2 (value, index) state held in VMEM
-scratch across the sequential TPU grid, so HBM holds only the descriptors
-and the O(N1 + N2) reduction outputs.
+descriptors, quadratic memory at scale. This kernel streams the target
+set through VMEM in blocks: each grid step computes one (Bq, Bt) distance
+block on the MXU and folds it into a running top-2 (value, index) state
+held in VMEM scratch across the sequential TPU grid, so HBM holds only
+the descriptors and the O(N) reduction outputs.
 
-Backward-direction top-2 (for the forward-backward check) falls out per
-block for free: each step owns its d2 rows and writes their (best, second,
-argmin-over-d1) directly.
+The reduction runs one *direction* per pallas_call: the running state is
+revisited only along the innermost grid dimension (consecutive grid
+steps), which is the only revisiting pattern the TPU pipelining model
+preserves. The forward-backward consistency check therefore issues two
+calls with the roles of d1/d2 swapped - 2x the MXU work of a fused
+kernel, but correct at any grid size. (A previous fused version merged
+the backward top-2 into output blocks revisited across the *outer* grid
+dim; TPU double-buffering made those merges read stale data whenever
+both grid dims exceeded 1.)
 
 Tie semantics match the scan-order matcher: argmin prefers the lower
 index within a block; across blocks, the merge prefers the earlier
 (running) value on exact ties.
+
+Reference semantics: SIFT3D_nn_match / match_desc, sift3d/sift.c:2840-2969.
 """
 
 from __future__ import annotations
@@ -52,16 +60,15 @@ def _merge(rb, rs, ri, b0, b1, i0):
     return best, second, idx
 
 
-def _kernel(d1_ref, d2_ref, n1sq_ref, n2sq_ref,
-            fbest_ref, fsecond_ref, fidx_ref,
-            bbest_ref, bsecond_ref, bidx_ref,
+def _kernel(q_ref, t_ref, qsq_ref, tsq_ref,
+            best_ref, second_ref, idx_ref,
             run_best, run_second, run_idx):
-    # Grid (n1 blocks, n2 blocks), row-major: j cycles fastest.
-    i = pl.program_id(0)
+    # Grid (query blocks, target blocks), row-major: j cycles fastest, so
+    # the running state and the output block for query block i live across
+    # exactly the consecutive steps (i, 0) .. (i, nj-1).
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    b1blk = d1_ref.shape[0]
-    b2blk = d2_ref.shape[0]
+    btblk = t_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -69,106 +76,92 @@ def _kernel(d1_ref, d2_ref, n1sq_ref, n2sq_ref,
         run_second[:] = jnp.full_like(run_second, jnp.inf)
         run_idx[:] = jnp.zeros_like(run_idx)
 
-    # (B1, B2) distance block on the MXU.
-    g = jnp.dot(d1_ref[:], d2_ref[:].T, preferred_element_type=jnp.float32)
-    d = n1sq_ref[:] + n2sq_ref[:].reshape(1, -1) - 2.0 * g
+    # (Bq, Bt) distance block on the MXU.
+    g = jnp.dot(q_ref[:], t_ref[:].T, preferred_element_type=jnp.float32)
+    d = qsq_ref[:] + tsq_ref[:].reshape(1, -1) - 2.0 * g
     d = jnp.maximum(d, 0.0)
     # Invalid rows/cols carry +inf norms; inf - inf would give NaN through
     # the matmul identity, so clean NaNs back to +inf.
     d = jnp.where(jnp.isnan(d), jnp.float32(jnp.inf), d)
 
-    # Forward: block top-2 along B2, folded into the running state (which
-    # persists across the inner j loop for this d1 block).
     b0, b1v, i0 = _top2_rows(d)
     nb, ns, ni = _merge(run_best[:], run_second[:], run_idx[:],
-                        b0, b1v, i0 + j * b2blk)
+                        b0, b1v, i0 + j * btblk)
     run_best[:] = nb
     run_second[:] = ns
     run_idx[:] = ni
 
     @pl.when(j == nj - 1)
     def _():
-        fbest_ref[:] = run_best[:]
-        fsecond_ref[:] = run_second[:]
-        fidx_ref[:] = run_idx[:]
-
-    # Backward: top-2 along B1 for this block's d2 rows, merged into the
-    # output blocks (revisited once per outer i step; read-modify-write).
-    c0, c1, k0 = _top2_rows(d.T)
-    k0 = k0 + i * b1blk
-
-    @pl.when(i == 0)
-    def _():
-        bbest_ref[:] = c0
-        bsecond_ref[:] = c1
-        bidx_ref[:] = k0
-
-    @pl.when(i > 0)
-    def _():
-        mb, ms, mi = _merge(bbest_ref[:], bsecond_ref[:], bidx_ref[:],
-                            c0, c1, k0)
-        bbest_ref[:] = mb
-        bsecond_ref[:] = ms
-        bidx_ref[:] = mi
+        best_ref[:] = run_best[:]
+        second_ref[:] = run_second[:]
+        idx_ref[:] = run_idx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block1", "block2",
-                                              "interpret"))
-def _match_reduce(d1, d2, n1sq, n2sq, block1: int = 1024,
-                  block2: int = 512, interpret: bool = False):
-    n1, dim = d1.shape
-    n2 = d2.shape[0]
-    grid = (n1 // block1, n2 // block2)
+@functools.partial(jax.jit, static_argnames=("blockq", "blockt",
+                                             "interpret"))
+def _reduce_one_way(q, t, qsq, tsq, blockq: int, blockt: int,
+                    interpret=False):
+    """Per-query (best, second, argmin) over all targets; shapes (Nq, 1)."""
+    nq, dim = q.shape
+    nt = t.shape[0]
+    grid = (nq // blockq, nt // blockt)
     kw = dict(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block1, dim), lambda i, j: (i, 0), **kw),
-            pl.BlockSpec((block2, dim), lambda i, j: (j, 0), **kw),
-            pl.BlockSpec((block1, 1), lambda i, j: (i, 0), **kw),
-            pl.BlockSpec((block2, 1), lambda i, j: (j, 0), **kw),
+            pl.BlockSpec((blockq, dim), lambda i, j: (i, 0), **kw),
+            pl.BlockSpec((blockt, dim), lambda i, j: (j, 0), **kw),
+            pl.BlockSpec((blockq, 1), lambda i, j: (i, 0), **kw),
+            pl.BlockSpec((blockt, 1), lambda i, j: (j, 0), **kw),
         ],
         out_specs=[
-            pl.BlockSpec((block1, 1), lambda i, j: (i, 0), **kw),
-            pl.BlockSpec((block1, 1), lambda i, j: (i, 0), **kw),
-            pl.BlockSpec((block1, 1), lambda i, j: (i, 0), **kw),
-            pl.BlockSpec((block2, 1), lambda i, j: (j, 0), **kw),
-            pl.BlockSpec((block2, 1), lambda i, j: (j, 0), **kw),
-            pl.BlockSpec((block2, 1), lambda i, j: (j, 0), **kw),
+            pl.BlockSpec((blockq, 1), lambda i, j: (i, 0), **kw),
+            pl.BlockSpec((blockq, 1), lambda i, j: (i, 0), **kw),
+            pl.BlockSpec((blockq, 1), lambda i, j: (i, 0), **kw),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n2, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n2, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n2, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nq, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block1, 1), jnp.float32),
-            pltpu.VMEM((block1, 1), jnp.float32),
-            pltpu.VMEM((block1, 1), jnp.int32),
+            pltpu.VMEM((blockq, 1), jnp.float32),
+            pltpu.VMEM((blockq, 1), jnp.float32),
+            pltpu.VMEM((blockq, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(d1, d2, n1sq, n2sq)
+    )(q, t, qsq, tsq)
 
 
-def nn_match_streamed(d1: jax.Array, d2: jax.Array, nn_thresh: float,
-                      valid1: jax.Array | None = None,
-                      valid2: jax.Array | None = None,
-                      block1: int = 1024, block2: int = 512,
-                      interpret: bool = False) -> jax.Array:
-    """Drop-in replacement for features.match.nn_match with O(N1 + N2)
-    HBM footprint. N1/N2 must be divisible by block1/block2 (pad with
-    invalid rows to round up); block sizes cap VMEM at
-    ~(block1 + block2) * 3 KB."""
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_rows(a: jax.Array, n_to: int) -> jax.Array:
+    n = a.shape[0]
+    if n == n_to:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((n_to - n,) + a.shape[1:], a.dtype)], axis=0)
+
+
+def match_reduce_streamed(d1: jax.Array, d2: jax.Array,
+                          valid1: jax.Array | None = None,
+                          valid2: jax.Array | None = None,
+                          block1: int = 512, block2: int = 512,
+                          interpret=False):
+    """Both directions' top-2 reductions via the streaming kernel.
+
+    Pads N1/N2 up to block multiples internally (padding rows carry +inf
+    norms and are never selected). Returns
+    ``(fbest, fsecond, fidx, bbest, bsecond, bidx)`` with shapes
+    (N1,), (N1,), (N1,), (N2,), (N2,), (N2,); indices are into the
+    *unpadded* opposite set except for all-invalid rows, whose best
+    stays +inf (callers must gate on finiteness).
+    """
     n1, n2 = d1.shape[0], d2.shape[0]
-    block1 = min(block1, n1)
-    block2 = min(block2, n2)
-    if n1 % block1 or n2 % block2:
-        raise ValueError(f"N1 = {n1} / N2 = {n2} must be divisible by "
-                         f"blocks {block1} / {block2}")
     d1 = d1.astype(jnp.float32)
     d2 = d2.astype(jnp.float32)
     inf = jnp.float32(jnp.inf)
@@ -181,12 +174,40 @@ def nn_match_streamed(d1: jax.Array, d2: jax.Array, nn_thresh: float,
     if valid2 is not None:
         n2sq = jnp.where(valid2[:, None], n2sq, inf)
 
-    fbest, fsecond, fidx, bbest, bsecond, bidx = (
-        x[:, 0] for x in _match_reduce(d1, d2, n1sq, n2sq, block1=block1,
-                                       block2=block2, interpret=interpret))
+    block1 = min(block1, _round_up(n1, 8))
+    block2 = min(block2, _round_up(n2, 8))
+    n1p = _round_up(n1, block1)
+    n2p = _round_up(n2, block2)
+    d1p = _pad_rows(d1, n1p)
+    d2p = _pad_rows(d2, n2p)
+    # Padding rows are invalid: +inf norm.
+    n1sqp = _pad_rows(n1sq, n1p).at[n1:].set(inf)
+    n2sqp = _pad_rows(n2sq, n2p).at[n2:].set(inf)
+
+    fbest, fsecond, fidx = _reduce_one_way(
+        d1p, d2p, n1sqp, n2sqp, block1, block2, interpret)
+    bbest, bsecond, bidx = _reduce_one_way(
+        d2p, d1p, n2sqp, n1sqp, block2, block1, interpret)
+    return (fbest[:n1, 0], fsecond[:n1, 0], fidx[:n1, 0],
+            bbest[:n2, 0], bsecond[:n2, 0], bidx[:n2, 0])
+
+
+def nn_match_streamed(d1: jax.Array, d2: jax.Array, nn_thresh: float,
+                      valid1: jax.Array | None = None,
+                      valid2: jax.Array | None = None,
+                      block1: int = 512, block2: int = 512,
+                      interpret=False) -> jax.Array:
+    """Drop-in replacement for features.match.nn_match with O(N1 + N2)
+    HBM footprint. Arbitrary N1/N2 (padded internally to block
+    multiples); block sizes cap VMEM at ~(block1 + block2) * 3 KB."""
+    n1 = d1.shape[0]
+    fbest, fsecond, fidx, bbest, bsecond, bidx = match_reduce_streamed(
+        d1, d2, valid1=valid1, valid2=valid2,
+        block1=block1, block2=block2, interpret=interpret)
 
     fwd_ok = _ratio_accept(fbest, fsecond, nn_thresh)
     bwd_ok = _ratio_accept(bbest, bsecond, nn_thresh)
+    # fidx of an all-invalid row is 0 (never accepted: fbest == +inf).
     consistent = (bidx[fidx] == jnp.arange(n1, dtype=jnp.int32)) & \
         bwd_ok[fidx]
     ok = fwd_ok & consistent & jnp.isfinite(fbest)

@@ -27,12 +27,17 @@ def nn_match_sharded(d1: jax.Array, d2: jax.Array, nn_thresh: float,
                      mesh: Mesh, axis_name: str = "space",
                      valid1: jax.Array | None = None,
                      valid2: jax.Array | None = None,
-                     dtype=jnp.float32) -> jax.Array:
+                     dtype=jnp.float32, streamed: bool | None = None
+                     ) -> jax.Array:
     """Match d1 (replicated) against d2 (sharded along rows).
 
     Args:
       d1: (N1, 768); d2: (N2, 768), N2 divisible by the axis size.
       valid1/valid2: optional row-validity masks.
+      streamed: use the Pallas streaming reduction for the per-shard
+        local top-2 (O(N1 + N2/S) HBM per shard instead of the
+        (N1, N2/S) block). Default: on TPU once the local block exceeds
+        4M entries.
 
     Returns (N1,) int32 matches (replicated on every shard).
     """
@@ -44,16 +49,26 @@ def nn_match_sharded(d1: jax.Array, d2: jax.Array, nn_thresh: float,
         valid1 = jnp.ones((n1,), bool)
     if valid2 is None:
         valid2 = jnp.ones((n2,), bool)
+    on_tpu = jax.default_backend() == "tpu"
+    if streamed is None:
+        streamed = on_tpu and n1 * n2_loc >= 4 * 1024 * 1024
 
     def local(d1_r, d2_blk, v1, v2_blk):
         s = jax.lax.axis_index(axis_name)
-        D = ssd_matrix(d1_r, d2_blk, dtype)           # (N1, n2_loc)
-        inf = jnp.asarray(jnp.inf, D.dtype)
-        D = jnp.where(v2_blk[None, :], D, inf)
-        D = jnp.where(v1[:, None], D, inf)
-
-        # Local forward top-2, with global d2 indices.
-        fidx, fbest, fsecond = _top2_min(D, axis=1)
+        if streamed:
+            from ..ops.pallas_match import match_reduce_streamed
+            fbest, fsecond, fidx, bbest, bsecond, bidx = \
+                match_reduce_streamed(d1_r, d2_blk, valid1=v1,
+                                      valid2=v2_blk,
+                                      interpret=not on_tpu)
+        else:
+            D = ssd_matrix(d1_r, d2_blk, dtype)       # (N1, n2_loc)
+            inf = jnp.asarray(jnp.inf, D.dtype)
+            D = jnp.where(v2_blk[None, :], D, inf)
+            D = jnp.where(v1[:, None], D, inf)
+            fidx, fbest, fsecond = _top2_min(D, axis=1)
+            bidx, bbest, bsecond = _top2_min(D, axis=0)
+        # Global d2 indices for the local forward winners.
         fidx = fidx + s * n2_loc
 
         # Gather per-shard candidates: (S, N1) each; combine to global
@@ -69,8 +84,7 @@ def nn_match_sharded(d1: jax.Array, d2: jax.Array, nn_thresh: float,
         best_idx = jnp.take_along_axis(cand_idx.T, pos[:, :1], 1)[:, 0]
         fwd_ok = _ratio_accept(best, second, nn_thresh)
 
-        # Backward pass: this shard's d2 rows vs all of d1 (local).
-        bidx, bbest, bsecond = _top2_min(D, axis=0)          # (n2_loc,)
+        # Backward direction (this shard's d2 rows vs all of d1, local).
         bwd_ok_l = _ratio_accept(bbest, bsecond, nn_thresh)
         bwd_idx = jax.lax.all_gather(bidx, axis_name).reshape(n2)
         bwd_ok = jax.lax.all_gather(bwd_ok_l, axis_name).reshape(n2)

@@ -63,10 +63,24 @@ def register_pair(desc_src: Descriptors, desc_ref: Descriptors,
     ``desc_ref`` plays d2 in matching (reg.c:271), and the fit maps ref
     coordinates onto src coordinates.
     """
-    matches = nn_match(desc_src.vec, desc_ref.vec, match_params.nn_thresh,
-                       valid1=desc_src.valid_mask(),
-                       valid2=desc_ref.valid_mask(),
-                       dtype=ssd_dtype)
+    n1, n2 = desc_src.vec.shape[0], desc_ref.vec.shape[0]
+    use_streamed = match_params.impl == "streamed" or (
+        match_params.impl == "auto" and
+        n1 * n2 >= match_params.streamed_threshold and
+        jax.default_backend() == "tpu")
+    if use_streamed:
+        from ..ops.pallas_match import nn_match_streamed
+        matches = nn_match_streamed(
+            desc_src.vec, desc_ref.vec, match_params.nn_thresh,
+            valid1=desc_src.valid_mask(), valid2=desc_ref.valid_mask(),
+            # Off-TPU (explicit impl="streamed" in tests) runs interpreted.
+            interpret=jax.default_backend() != "tpu")
+    else:
+        matches = nn_match(desc_src.vec, desc_ref.vec,
+                           match_params.nn_thresh,
+                           valid1=desc_src.valid_mask(),
+                           valid2=desc_ref.valid_mask(),
+                           dtype=ssd_dtype)
     src_xyz, ref_xyz, n_match = matches_to_coords(
         desc_src.xyz, desc_ref.xyz, matches)
 

@@ -92,3 +92,18 @@ def test_nn_match_sharded_with_padding(rng):
     got = np.asarray(nn_match_sharded(jnp.asarray(d1), jnp.asarray(d2),
                                       0.8, mesh, valid1=v1, valid2=v2))
     np.testing.assert_array_equal(got, want)
+
+
+def test_nn_match_sharded_streamed(rng):
+    """Sharded matcher with the Pallas streaming local reduce (interpret
+    mode off-TPU) equals the single-device XLA matcher."""
+    d1 = _descriptors(rng, 96)
+    d2 = _descriptors(rng, 128)
+    for i in range(30):
+        d2[i + 7] = d1[i] + rng.normal(0, 0.004, 768).astype(np.float32)
+        d2[i + 7] /= np.linalg.norm(d2[i + 7])
+    want = np.asarray(nn_match(jnp.asarray(d1), jnp.asarray(d2), 0.8))
+    mesh = make_mesh(jax.devices()[:4], data=1, space=4)
+    got = np.asarray(nn_match_sharded(jnp.asarray(d1), jnp.asarray(d2),
+                                      0.8, mesh, streamed=True))
+    np.testing.assert_array_equal(got, want)
