@@ -62,7 +62,12 @@ def _extrema_fn(shape_zyx, units, params: SIFT3DParams):
         gpyr = pyr_mod.build_gpyr(scaled, plan)
         dog = pyr_mod.build_dog(gpyr, plan)
         ext = detect_mod.detect_extrema_levels(dog, plan, params)
-        return gpyr, ext
+        # Stacked per-level counts: ONE device array so the host sync is a
+        # single D2H transfer (separate scalars cost a ~11 ms tunnel round
+        # trip each on this environment).
+        counts_vec = jnp.stack(
+            [ext[k][1] for k in sorted(ext)]).astype(jnp.int32)
+        return gpyr, ext, counts_vec
     return fn, plan
 
 
@@ -75,7 +80,84 @@ def _orient_fn(shape_zyx, units, params: SIFT3DParams, caps_key):
 
     @jax.jit
     def fn(gpyr, ext):
-        return detect_mod.orient_levels(gpyr, ext, caps, plan, params)
+        kp = detect_mod.orient_levels(gpyr, ext, caps, plan, params)
+        lvl_counts = _stacked_level_counts(kp, plan)
+        return kp, lvl_counts
+    return fn
+
+
+def _stacked_level_counts(kp: Keypoints, plan) -> jax.Array:
+    """Per-(o, s) valid-keypoint counts as ONE stacked i32 vector (sorted
+    kp_levels order), so downstream host bucketing needs a single D2H
+    transfer instead of one per level."""
+    valid = kp.valid_mask()
+    return jnp.stack([
+        jnp.sum(valid & (kp.o == o) & (kp.s == s)).astype(jnp.int32)
+        for (o, s) in sorted(detect_mod.kp_levels(plan))])
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_all_fn(shape_zyx, units, params: SIFT3DParams):
+    """Single-program detect + extract at optimistic static capacities.
+
+    One dispatch, one host sync: pyramid -> extrema -> orientation ->
+    Pallas descriptor extraction all in one jitted program, with every
+    per-level bucket capped at ``params.fused_bucket_cap``. An in-program
+    overflow flag records whether any level's extrema hit that cap; the
+    caller then falls back to the exact two-stage host-bucketed path
+    (rare - real volumes have tens of keypoints per level). The Pallas
+    window kernel skips bucket rows beyond the in-program counts, so the
+    static caps cost only gather width, not compute.
+    """
+    nz, ny, nx = shape_zyx
+    plan = pyr_mod.plan_pyramid((nx, ny, nz), units, params)
+    lvls = sorted(detect_mod.kp_levels(plan))
+    full = {lv: detect_mod.level_cap(plan, lv[0], params) for lv in lvls}
+    caps = {lv: min(params.fused_bucket_cap, full[lv]) for lv in lvls}
+
+    @jax.jit
+    def fn(vol):
+        scaled = pyr_mod.im_scale(vol.astype(jnp.float32))
+        gpyr = pyr_mod.build_gpyr(scaled, plan)
+        dog = pyr_mod.build_dog(gpyr, plan)
+        ext = detect_mod.detect_extrema_levels(dog, plan, params)
+        # Overflow: a level filled its optimistic cap while a larger
+        # contract cap exists (truncation at the contract cap itself is
+        # expected behavior, not overflow).
+        over = [(ext[lv][1] >= caps[lv]) for lv in lvls
+                if caps[lv] < full[lv]]
+        overflow = jnp.any(jnp.stack(over)) if over \
+            else jnp.asarray(False)
+        kp = detect_mod.orient_levels(gpyr, ext, caps, plan, params)
+        lvl_counts = _stacked_level_counts(kp, plan)
+        desc = extract_descriptors(gpyr, kp, plan, params,
+                                   level_caps=caps)
+        return kp, lvl_counts, desc, overflow, gpyr
+    return fn, plan
+
+
+@functools.lru_cache(maxsize=256)
+def _orient_extract_fn(shape_zyx, units, params: SIFT3DParams, caps_key,
+                       kp_cap: int):
+    """Fused stage B+C: orientation + descriptor extraction in ONE program.
+
+    Capacities come from the *extrema* counts (stage A), so no second
+    host sync is needed between orientation and extraction - the Pallas
+    window kernel skips rows beyond the in-program post-orientation
+    counts, which makes the looser extrema-based caps nearly free (only
+    the XLA window gather runs at cap size).
+    """
+    nz, ny, nx = shape_zyx
+    plan = pyr_mod.plan_pyramid((nx, ny, nz), units, params)
+    caps = dict(caps_key)
+
+    @jax.jit
+    def fn(gpyr, ext):
+        kp = detect_mod.orient_levels(gpyr, ext, caps, plan, params)
+        lvl_counts = _stacked_level_counts(kp, plan)
+        desc = extract_descriptors(gpyr, kp_head(kp, kp_cap), plan, params,
+                                   level_caps=caps)
+        return kp, lvl_counts, desc
     return fn
 
 
@@ -133,6 +215,7 @@ class Sift3D:
         self._gpyr = None
         self._plan = None
         self._kp: Keypoints | None = None
+        self._lvl_counts = None
         self._shape_units = None
 
     def detect(self, im, units=(1.0, 1.0, 1.0)) -> Keypoints:
@@ -146,18 +229,19 @@ class Sift3D:
         data, vunits = _as_array(im)
         units = tuple(vunits or units)
         fn, plan = _extrema_fn(data.shape, units, self.params)
-        gpyr, ext = fn(jnp.asarray(data))
-        # One batched D2H transfer for all level counts (per-level int()
-        # syncs cost a tunnel round trip each).
-        counts = jax.device_get({k: c for k, (_, c) in ext.items()})
-        caps_key = tuple(sorted(
+        gpyr, ext, counts_vec = fn(jnp.asarray(data))
+        # ONE D2H transfer for all level counts.
+        counts = np.asarray(counts_vec)
+        levels = sorted(ext)
+        caps_key = tuple(
             (level, _pow2_cap(int(count),
                               hi=detect_mod.level_cap(plan, level[0],
                                                       self.params)))
-            for level, count in counts.items()))
+            for level, count in zip(levels, counts))
         orient = _orient_fn(data.shape, units, self.params, caps_key)
-        kp = orient(gpyr, ext)
+        kp, lvl_counts = orient(gpyr, ext)
         self._gpyr, self._plan, self._kp = gpyr, plan, kp
+        self._lvl_counts = lvl_counts
         self._shape_units = (data.shape, units)
         return kp
 
@@ -168,17 +252,20 @@ class Sift3D:
         gathers scale with the real per-level keypoint counts."""
         if self._gpyr is None:
             raise RuntimeError("call detect() before extract()")
-        kp = self._kp if kp is None else kp
-        n, o_host, s_host = jax.device_get((kp.count, kp.o, kp.s))
-        n = int(n)
-        cap = min(_pow2_cap(n), kp.capacity)
         plan = self._plan
-        caps = []
-        for o in range(plan.num_octaves):
-            for s in range(plan.first_level + 1, plan.last_dog_level):
-                c = int(np.sum((o_host[:n] == o) & (s_host[:n] == s)))
-                caps.append(((o, s),
-                             0 if c == 0 else _pow2_cap(c, lo=8, hi=cap)))
+        if kp is None or kp is self._kp:
+            kp = self._kp
+            lvl_counts = self._lvl_counts
+        else:
+            lvl_counts = jax.jit(functools.partial(
+                _stacked_level_counts, plan=plan))(kp)
+        # ONE D2H transfer for all per-level counts.
+        counts = np.asarray(lvl_counts)
+        n = int(counts.sum())
+        cap = min(_pow2_cap(n), kp.capacity)
+        caps = [(level, 0 if c == 0 else _pow2_cap(int(c), lo=8, hi=cap))
+                for level, c in zip(sorted(detect_mod.kp_levels(plan)),
+                                    counts)]
         fn = _extract_fn(*self._shape_units, self.params, cap,
                          tuple(sorted(caps)))
         return fn(self._gpyr, kp)
@@ -186,14 +273,48 @@ class Sift3D:
     def detect_and_extract(self, im, units=(1.0, 1.0, 1.0)):
         """Detect + extract in one call. Returns (Keypoints, Descriptors).
 
-        Runs the two-stage path: extraction buckets size themselves from
-        the *oriented* per-level counts, which measured faster than fusing
-        orientation + extraction into one program under the looser
-        extrema-count capacities (8.4M vs 6.6M voxel/s on the TPU bench) -
-        the saved dispatch did not pay for the ~4x larger extract buckets.
+        Fast path: ONE device program (pyramid -> extrema -> orientation
+        -> Pallas extraction) at optimistic static bucket capacities
+        (params.fused_bucket_cap) and ONE host sync (the overflow flag).
+        When a level overflows the optimistic cap, falls back to the
+        exact two-stage path whose capacities are host-bucketed from the
+        synced extrema counts.
         """
-        kp = self.detect(im, units)
-        return kp, self.extract(kp)
+        data, vunits = _as_array(im)
+        units = tuple(vunits or units)
+        fused, plan = _fused_all_fn(data.shape, units, self.params)
+        kp, lvl_counts, desc, overflow, gpyr = fused(jnp.asarray(data))
+        if bool(overflow):                    # the ONE host sync
+            return self._detect_and_extract_two_stage(data, units)
+        self._gpyr, self._plan, self._kp = gpyr, plan, kp
+        self._lvl_counts = lvl_counts
+        self._shape_units = (data.shape, units)
+        return kp, desc
+
+    def _detect_and_extract_two_stage(self, data, units):
+        """Exact path: host-bucketed capacities from synced extrema
+        counts; two device programs, two host syncs. (Round 1 measured a
+        statically-capped fused program SLOWER under the XLA extract
+        path, 6.6M vs 8.4M voxel/s, because there the full compute
+        scaled with cap; the Pallas count-skip kernel removed that.)"""
+        fn, plan = _extrema_fn(data.shape, units, self.params)
+        gpyr, ext, counts_vec = fn(jnp.asarray(data))
+        counts = np.asarray(counts_vec)        # host sync
+        levels = sorted(ext)
+        caps_key = tuple(
+            (level, _pow2_cap(int(count), lo=8,
+                              hi=detect_mod.level_cap(plan, level[0],
+                                                      self.params)))
+            for level, count in zip(levels, counts))
+        kp_cap = min(_pow2_cap(int(counts.sum())),
+                     sum(c for _, c in caps_key))
+        fused = _orient_extract_fn(data.shape, units, self.params,
+                                   caps_key, kp_cap)
+        kp, lvl_counts, desc = fused(gpyr, ext)
+        self._gpyr, self._plan, self._kp = gpyr, plan, kp
+        self._lvl_counts = lvl_counts
+        self._shape_units = (data.shape, units)
+        return kp, desc
 
     def extract_raw(self, im, kp: Keypoints,
                     units=(1.0, 1.0, 1.0)) -> Descriptors:

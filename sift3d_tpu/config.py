@@ -51,6 +51,11 @@ class SIFT3DParams:
     # TPU-specific capacity knobs (no reference analog; the reference uses
     # dynamically grown slab allocators, immacros.h:199-222).
     max_kp_per_level: int = 8192
+    # Optimistic per-level bucket capacity for the single-program
+    # detect+extract path (api.Sift3D.detect_and_extract): the fused
+    # program runs at this static cap and falls back to the exact
+    # two-stage host-bucketed path when any level overflows it.
+    fused_bucket_cap: int = 64
 
     def validate(self) -> None:
         # Mirrors set_*_SIFT3D validation (sift.c:514-580).

@@ -165,10 +165,27 @@ def postprocess(raw: jax.Array) -> jax.Array:
     return normalize(v)
 
 
+def _pallas_vmem_ok(cores, nx: int) -> bool:
+    """Whether the Pallas window kernel's scratch fits comfortably in VMEM."""
+    ckz, cky, _ = cores
+    x_pad = -(-nx // 128) * 128
+    win = (ckz + 2) * (cky + 2) * x_pad * 4
+    plane = 9 * cky * x_pad * 4
+    return win + plane < 12 * 1024 * 1024
+
+
 def extract_level(level: jax.Array, centers_zyx: jax.Array, R: jax.Array,
                   sd: float, units: tuple[float, float, float],
-                  chunk: int = 32) -> jax.Array:
-    """Descriptors for all keypoints of one level. centers_zyx float (K, 3)."""
+                  chunk: int = 32, count: jax.Array | None = None,
+                  use_pallas: bool | None = None,
+                  interpret: bool = False) -> jax.Array:
+    """Descriptors for all keypoints of one level. centers_zyx float (K, 3).
+
+    ``use_pallas`` selects the Pallas window kernel (ops/pallas_window.py):
+    default on TPU when the window scratch fits VMEM. ``count`` (traced)
+    lets the kernel skip padded bucket rows entirely; rows >= count then
+    hold garbage, which callers mask out.
+    """
     nz, ny, nx = level.shape
     sigma = np.float32(sd) * np.float32(DESC_SIG_FCTR)
     rad = np.float32(DESC_RAD_FCTR) * sigma
@@ -178,6 +195,18 @@ def extract_level(level: jax.Array, centers_zyx: jax.Array, R: jax.Array,
     radii = (Rz, Ry, Rx)
     cores = (window_extent(Rz, nz, False), window_extent(Ry, ny, False),
              window_extent(Rx, nx, False))
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and
+                      _pallas_vmem_ok(cores, nx))
+    if use_pallas or interpret:
+        from ..ops.pallas_window import descrip_level_pallas
+        if count is None:
+            count = jnp.int32(centers_zyx.shape[0])
+        raw = descrip_level_pallas(
+            level, centers_zyx, R, count, radii, cores, units,
+            float(sigma), float(rad), interpret=interpret)
+        return postprocess(raw)
 
     def one(args):
         c, r = args
@@ -240,7 +269,7 @@ def extract_descriptors(gpyr: dict, kp: Keypoints, plan,
             Rb = kp.R[rows]
             geom = plan.gpyr_level(o, s)
             desc_b = extract_level(gpyr[(o, s)], centers, Rb, geom.scale,
-                                   units_o, chunk)
+                                   units_o, chunk, count=n_in_bucket)
             # Scatter back to the original rows; drop padding rows.
             bucket_valid = jnp.arange(cap) < n_in_bucket
             safe_rows = jnp.where(bucket_valid, rows, K)
@@ -291,7 +320,7 @@ def extract_raw_descriptors(vol: jax.Array, kp: Keypoints,
             Rb = kp.R[rows]
             geom = plan.gpyr_level(o, s)
             desc_b = extract_level(smoothed, centers, Rb, geom.scale,
-                                   units, chunk)
+                                   units, chunk, count=n_in_bucket)
             bucket_valid = jnp.arange(cap) < n_in_bucket
             safe_rows = jnp.where(bucket_valid, rows, K)
             vec = vec.at[safe_rows].set(
