@@ -197,8 +197,10 @@ def extract_level(level: jax.Array, centers_zyx: jax.Array, R: jax.Array,
              window_extent(Rx, nx, False))
 
     if use_pallas is None:
+        import os
         use_pallas = (jax.default_backend() == "tpu" and
-                      _pallas_vmem_ok(cores, nx))
+                      _pallas_vmem_ok(cores, nx) and
+                      not os.environ.get("SIFT3D_TPU_NO_PALLAS_WINDOW"))
     if use_pallas or interpret:
         from ..ops.pallas_window import descrip_level_pallas
         if count is None:

@@ -44,7 +44,7 @@ from .geometry import face_solve_tables, face_tables
 _N_PLANE_SCALARS = 9   # vbx vby vbz gb0 gb1 gb2 vt0 vt1 vt2
 
 
-def _descrip_kernel_body(cnt_ref, info_ref, win_ref, out_ref, plane, *,
+def _descrip_kernel_body(act_ref, info_ref, win_ref, out_ref, plane, *,
                          cores, units, sigma, rad):
     """One keypoint per grid step; see module docstring."""
     ckz, cky, ckx = cores
@@ -63,19 +63,21 @@ def _descrip_kernel_body(cnt_ref, info_ref, win_ref, out_ref, plane, *,
 
     k = pl.program_id(0)
 
-    @pl.when(k < cnt_ref[0])
+    @pl.when(act_ref[k] > 0)
     def _():
-        # info row: [sz, sy, sx, cz, cy, cx, R00..R22] (floats; starts are
-        # small integers, exactly representable). The whole (K, 15) array
-        # sits in SMEM (unblocked); index by grid position.
-        sz = info_ref[k, 0]
-        sy = info_ref[k, 1]
-        sx = info_ref[k, 2]
-        cz_f = info_ref[k, 3]
-        cy_f = info_ref[k, 4]
-        cx_f = info_ref[k, 5]
+        # info column k: [sz, sy, sx, cz, cy, cx, R00..R22] (floats;
+        # starts are small integers, exactly representable). Stored
+        # TRANSPOSED (15, K) in SMEM: SMEM rows pad to 128 lanes, so the
+        # (K, 15) layout would waste 8.5x and overflow SMEM for large
+        # flattened batches.
+        sz = info_ref[0, k]
+        sy = info_ref[1, k]
+        sx = info_ref[2, k]
+        cz_f = info_ref[3, k]
+        cy_f = info_ref[4, k]
+        cx_f = info_ref[5, k]
         # We need R^T: rt[i][j] = R[j][i].
-        rt = [[info_ref[k, 6 + 3 * j + i] for j in range(3)]
+        rt = [[info_ref[6 + 3 * j + i, k] for j in range(3)]
               for i in range(3)]
 
         # Lane/sublane coordinate planes (shared across z).
@@ -207,14 +209,14 @@ def _descrip_kernel_body(cnt_ref, info_ref, win_ref, out_ref, plane, *,
             0, ckz, z_body, jnp.zeros((16, 48), jnp.float32))
         out_ref[0] = hist
 
-    @pl.when(k >= cnt_ref[0])
+    @pl.when(act_ref[k] == 0)
     def _():
         out_ref[0] = jnp.zeros((16, 48), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("cores", "units", "sigma",
                                              "rad", "interpret"))
-def _descrip_pallas_call(wins, count, info, *, cores, units, sigma, rad,
+def _descrip_pallas_call(wins, active, info, *, cores, units, sigma, rad,
                          interpret=False):
     K = wins.shape[0]
     ckz, cky, ckx = cores
@@ -236,10 +238,87 @@ def _descrip_pallas_call(wins, count, info, *, cores, units, sigma, rad,
         ],
         out_shape=jax.ShapeDtypeStruct((K, 16, 48), jnp.float32),
         interpret=interpret,
-    )(count, info, wins)
+    )(active, info, wins)
     # [hz*4+hy, hx*12+b] -> reference element order
     # el = ((hz*4+hy)*4+hx)*12 + b (sift.c histogram raster).
     return out.reshape(K, 4, 4, 4, 12).reshape(K, 768)
+
+
+def _window_starts(shape, centers_zyx, radii, cores):
+    nz, ny, nx = shape
+    Rz, Ry, Rx = radii
+    ckz, cky, ckx = cores
+    bz = jnp.floor(centers_zyx[:, 0]).astype(jnp.int32)
+    by = jnp.floor(centers_zyx[:, 1]).astype(jnp.int32)
+    bx = jnp.floor(centers_zyx[:, 2]).astype(jnp.int32)
+    return (jnp.clip(bz - Rz, 1, nz - 1 - ckz),
+            jnp.clip(by - Ry, 1, ny - 1 - cky),
+            jnp.clip(bx - Rx, 1, nx - 1 - ckx))
+
+
+def _info_rows(sz, sy, sx, centers_zyx, R):
+    starts_f = jnp.stack([sz, sy, sx], -1).astype(jnp.float32)
+    return jnp.concatenate(
+        [starts_f, centers_zyx.astype(jnp.float32),
+         R.reshape(-1, 9).astype(jnp.float32)],
+        axis=-1).T                                          # (15, K)
+
+
+@functools.lru_cache(maxsize=512)
+def _raw_descrip_fn(radii, cores, units, sigma, rad, interpret):
+    """A custom_vmap-wrapped raw-descriptor function for one static level
+    geometry. Batching flattens (B, K) keypoint rows into the kernel grid
+    and gathers each row's window from its own volume, so batched
+    pipelines (parallel.pipeline) hit the same kernel with no per-volume
+    dispatch."""
+    ckz, cky, ckx = cores
+
+    @jax.custom_batching.custom_vmap
+    def raw(level, centers_zyx, R, active):
+        sz, sy, sx = _window_starts(level.shape, centers_zyx, radii, cores)
+
+        # XLA window gather: a dynamic-slice map, stacked (K, wz, wy, wx).
+        def gather(args):
+            z0, y0, x0 = args
+            return jax.lax.dynamic_slice(
+                level, (z0 - 1, y0 - 1, x0 - 1),
+                (ckz + 2, cky + 2, ckx + 2))
+        wins = jax.lax.map(gather, (sz, sy, sx))
+        info = _info_rows(sz, sy, sx, centers_zyx, R)
+        return _descrip_pallas_call(
+            wins, active.astype(jnp.int32), info, cores=cores,
+            units=units, sigma=sigma, rad=rad, interpret=interpret)
+
+    @raw.def_vmap
+    def raw_vmap(axis_size, in_batched, level, centers_zyx, R, active):
+        B = axis_size
+        lb, cb, rb, ab = in_batched
+
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(x, (B,) + x.shape)
+        level = bc(level, lb)
+        centers_zyx = bc(centers_zyx, cb)
+        R = bc(R, rb)
+        active = bc(active, ab)
+        K = centers_zyx.shape[1]
+        shape3 = level.shape[1:]
+        c2 = centers_zyx.reshape(B * K, 3)
+        sz, sy, sx = _window_starts(shape3, c2, radii, cores)
+        vol_idx = (jnp.arange(B * K, dtype=jnp.int32) // K)
+
+        def gather(args):
+            b, z0, y0, x0 = args
+            return jax.lax.dynamic_slice(
+                level, (b, z0 - 1, y0 - 1, x0 - 1),
+                (1, ckz + 2, cky + 2, ckx + 2))[0]
+        wins = jax.lax.map(gather, (vol_idx, sz, sy, sx))
+        info = _info_rows(sz, sy, sx, c2, R.reshape(B * K, 3, 3))
+        out = _descrip_pallas_call(
+            wins, active.reshape(B * K).astype(jnp.int32), info,
+            cores=cores, units=units, sigma=sigma, rad=rad,
+            interpret=interpret)
+        return out.reshape(B, K, 768), True
+    return raw
 
 
 def descrip_level_pallas(level: jax.Array, centers_zyx: jax.Array,
@@ -259,33 +338,16 @@ def descrip_level_pallas(level: jax.Array, centers_zyx: jax.Array,
       units: (ux, uy, uz).
       sigma, rad: descriptor Gaussian width and window radius (mm).
 
-    Returns (K, 768) f32 raw histograms (pre-postprocess).
+    Returns (K, 768) f32 raw histograms (pre-postprocess). vmaps over a
+    leading batch axis by flattening rows into the kernel grid.
     """
-    nz, ny, nx = level.shape
-    Rz, Ry, Rx = radii
-    ckz, cky, ckx = cores
-    centers_zyx = centers_zyx.astype(jnp.float32)
-    bz = jnp.floor(centers_zyx[:, 0]).astype(jnp.int32)
-    by = jnp.floor(centers_zyx[:, 1]).astype(jnp.int32)
-    bx = jnp.floor(centers_zyx[:, 2]).astype(jnp.int32)
-    sz = jnp.clip(bz - Rz, 1, nz - 1 - ckz)
-    sy = jnp.clip(by - Ry, 1, ny - 1 - cky)
-    sx = jnp.clip(bx - Rx, 1, nx - 1 - ckx)
-
-    # XLA window gather: a plain dynamic-slice map, stacked (K, wz, wy, wx).
-    def gather(args):
-        z0, y0, x0 = args
-        return jax.lax.dynamic_slice(
-            level, (z0 - 1, y0 - 1, x0 - 1), (ckz + 2, cky + 2, ckx + 2))
-    wins = jax.lax.map(gather, (sz, sy, sx))
-
-    starts_f = jnp.stack([sz, sy, sx], -1).astype(jnp.float32)
-    info = jnp.concatenate(
-        [starts_f, centers_zyx, R.reshape(-1, 9).astype(jnp.float32)],
-        axis=-1)                                           # (K, 15)
-    cnt = jnp.asarray(count, jnp.int32).reshape(1)
-    return _descrip_pallas_call(
-        wins, cnt, info,
-        cores=(int(ckz), int(cky), int(ckx)),
-        units=(float(units[0]), float(units[1]), float(units[2])),
-        sigma=float(sigma), rad=float(rad), interpret=interpret)
+    K = centers_zyx.shape[0]
+    active = (jnp.arange(K, dtype=jnp.int32) <
+              jnp.asarray(count, jnp.int32)).astype(jnp.int32)
+    fn = _raw_descrip_fn(
+        tuple(int(r) for r in radii), tuple(int(c) for c in cores),
+        (float(units[0]), float(units[1]), float(units[2])),
+        float(sigma), float(rad), bool(interpret) if isinstance(
+            interpret, bool) else interpret)
+    return fn(level, centers_zyx.astype(jnp.float32),
+              R.astype(jnp.float32), active)

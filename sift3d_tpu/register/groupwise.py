@@ -17,11 +17,15 @@ of the 3 output rows decouples, so the normal equations share one
     H[ij] -= sum hp hq^T        (h* = homogeneous points)
     edges touching volume 0 move their A_0 terms to the RHS.
 
-Distribution: edges are processed independently (vmap / shard over the
-"data" mesh axis), each contributing dense per-edge blocks; the blocks are
-summed - a psum when sharded - and the small reduced system is solved
-replicated. This is the distributed normal-equation reduction pattern:
-per-chip Gram accumulation + collective sum + replicated dense solve.
+Distribution: ``groupwise_solve`` runs single-device (vmap over edges);
+``groupwise_solve_sharded`` shards the edges over a mesh axis with
+shard_map - each shard RANSAC-filters its edges, accumulates their Gram
+blocks into a local partial reduced system, the partials are summed with
+``lax.psum`` over the axis, and the small dense system is solved
+replicated on every shard. This is the distributed normal-equation
+reduction pattern (the Schur-style generalization of the reference's
+dgelss least-squares solve, imutil/imutil.c:3207-3294): per-chip Gram
+accumulation + collective sum + replicated solve.
 
 Robustness: each edge is first filtered by the same RANSAC used for
 pairwise registration; only inlier correspondences enter the solve.
@@ -141,6 +145,111 @@ def groupwise_solve(edges_ij: np.ndarray, src_pts: jax.Array,
                            edge_ok=edge_ok, ok=ok)
 
 
+def _edge_system_terms(edge_ij, Gpp, Gqq, Gpq, num_volumes: int):
+    """One edge's contribution to the reduced system, gather-free.
+
+    Returns (H4 (N-1, N-1, 4, 4), rhs4 (N-1, 4, 3)) built from one-hot
+    volume selectors so the assembly works with *traced* edge indices
+    (required under shard_map, where each shard owns different edges).
+    """
+    i = edge_ij[0]
+    j = edge_ij[1]
+    n1 = num_volumes - 1
+    ar = jnp.arange(1, num_volumes, dtype=edge_ij.dtype)
+    ohi = (ar == i).astype(f64())                    # (N-1,)
+    ohj = (ar == j).astype(f64())
+    H4 = (jnp.einsum("a,b,pq->abpq", ohi, ohi, Gpp) +
+          jnp.einsum("a,b,pq->abpq", ohj, ohj, Gqq) -
+          jnp.einsum("a,b,pq->abpq", ohi, ohj, Gpq) -
+          jnp.einsum("a,b,pq->abpq", ohj, ohi, Gpq.T))
+    i0 = (i == 0).astype(f64())
+    j0 = (j == 0).astype(f64())
+    rhs4 = (jnp.einsum("a,pq->apq", ohj * i0, Gpq.T[:, :3]) +
+            jnp.einsum("a,pq->apq", ohi * j0, Gpq[:, :3]))
+    del n1
+    return H4, rhs4
+
+
+def _solve_reduced(H4, rhs4, num_volumes: int, ridge: float):
+    """Replicated dense solve of the reduced system."""
+    n_unk = 4 * (num_volumes - 1)
+    H = H4.transpose(0, 2, 1, 3).reshape(n_unk, n_unk)
+    H = H + ridge * jnp.eye(n_unk, dtype=f64())
+    X = jnp.linalg.solve(H, rhs4.reshape(n_unk, 3))
+    return jnp.concatenate([
+        jnp.eye(3, 4, dtype=f64())[None],
+        jnp.swapaxes(X.reshape(num_volumes - 1, 4, 3), -1, -2)])
+
+
+def groupwise_solve_sharded(edges_ij, src_pts, ref_pts, counts,
+                            num_volumes: int, mesh,
+                            axis_name: str = "data",
+                            ransac_params: RansacParams = RansacParams(),
+                            ridge: float = 1e-9) -> GroupwiseResult:
+    """Distributed groupwise solve: edges sharded over ``axis_name``.
+
+    Per shard: RANSAC-filter the local edges, accumulate their Gram
+    blocks into a local partial (N-1, N-1, 4, 4) system, then ``psum``
+    the partials over the mesh axis and solve the reduced dense system
+    replicated. Edges are padded to a multiple of the axis size with
+    inactive rows (count 0).
+
+    Args match :func:`groupwise_solve` plus the mesh; returns the same
+    GroupwiseResult (edge arrays in padded order, trimmed to E).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    E = len(edges_ij)
+    n_sh = mesh.shape[axis_name]
+    E_pad = -(-E // n_sh) * n_sh
+    edges_d = jnp.zeros((E_pad, 2), jnp.int32).at[:E].set(
+        jnp.asarray(np.asarray(edges_ij), jnp.int32))
+    valid = (jnp.arange(E_pad) < E)
+    M = src_pts.shape[1]
+
+    def pad_e(a):
+        return jnp.zeros((E_pad,) + a.shape[1:], a.dtype).at[:E].set(a)
+    src_p = pad_e(src_pts.astype(f64()))
+    ref_p = pad_e(ref_pts.astype(f64()))
+    cnt_p = pad_e(counts.astype(jnp.int32))
+    del M
+
+    def local(edges_l, src_l, ref_l, cnt_l, val_l):
+        res = jax.vmap(lambda s, r, c: find_tform_ransac(
+            s, r, c, ransac_params))(src_l, ref_l, cnt_l)
+        inlier = res.inlier_mask.astype(f64()) * \
+            val_l.astype(f64())[:, None]
+        Gpp, Gqq, Gpq = jax.vmap(_edge_blocks)(src_l, ref_l, inlier)
+        H4_e, rhs4_e = jax.vmap(
+            lambda e, a, b, c: _edge_system_terms(e, a, b, c,
+                                                  num_volumes))(
+            edges_l, Gpp, Gqq, Gpq)
+        # Zero out padded edges' contributions entirely (their blocks are
+        # already zero through the inlier weights, but be explicit).
+        w = val_l.astype(f64())
+        H4 = jax.lax.psum(jnp.einsum("e,eabpq->abpq", w, H4_e), axis_name)
+        rhs4 = jax.lax.psum(jnp.einsum("e,eapq->apq", w, rhs4_e),
+                            axis_name)
+        A = _solve_reduced(H4, rhs4, num_volumes, ridge)
+        inl_g = jax.lax.all_gather(res.num_inliers, axis_name).reshape(-1)
+        ok_l = (res.num_inliers >= RANSAC_MIN_INLIERS) | ~val_l
+        ok_g = jax.lax.all_gather(ok_l, axis_name).reshape(-1)
+        ok = jnp.all(ok_g) & jnp.all(jnp.isfinite(A))
+        return A, inl_g, ok_g, ok
+
+    A, inl, eok, ok = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(edges_d, src_p, ref_p, cnt_p, valid)
+    edge_ok = eok[:E] & (inl[:E] >= RANSAC_MIN_INLIERS)
+    return GroupwiseResult(A=A, edge_inliers=inl[:E].astype(jnp.int32),
+                           edge_ok=edge_ok, ok=ok)
+
+
 def register_groupwise(descriptors, edges_ij, units,
                        match_params=None, ransac_params=RansacParams(),
                        ssd_dtype=jnp.float32) -> GroupwiseResult:
@@ -162,20 +271,69 @@ def register_groupwise(descriptors, edges_ij, units,
     if match_params is None:
         match_params = MatchParams()
     edges_ij = np.asarray(edges_ij)
+    src, ref, cnt = _match_edges(descriptors, jnp.asarray(edges_ij),
+                                 units, match_params, ssd_dtype)
+    return groupwise_solve(edges_ij, src, ref, cnt,
+                           num_volumes=int(descriptors.count.shape[0]),
+                           ransac_params=ransac_params)
+
+
+def _match_edges(descriptors, edges_dev, units, match_params, ssd_dtype):
+    """Device-side per-edge matching (vmapped; shards over edges when the
+    caller vmaps/shard_maps it). Returns (src, ref, cnt) in mm."""
+    from ..config import MatchParams  # noqa: F401 (kept for parity)
+    from ..features.match import matches_to_coords, nn_match
+    from .pipeline import im2mm
 
     def one_edge(e):
-        i, j = int(e[0]), int(e[1])
-        d1 = jax.tree.map(lambda x: x[i], descriptors)
-        d2 = jax.tree.map(lambda x: x[j], descriptors)
+        d1 = jax.tree.map(lambda x: x[e[0]], descriptors)
+        d2 = jax.tree.map(lambda x: x[e[1]], descriptors)
         m = nn_match(d1.vec, d2.vec, match_params.nn_thresh,
                      d1.valid_mask(), d2.valid_mask(), dtype=ssd_dtype)
         s, r, c = matches_to_coords(d1.xyz, d2.xyz, m)
         return im2mm(s, units), im2mm(r, units), c
 
-    outs = [one_edge(e) for e in edges_ij]
-    src = jnp.stack([o[0] for o in outs])
-    ref = jnp.stack([o[1] for o in outs])
-    cnt = jnp.stack([o[2] for o in outs])
-    return groupwise_solve(edges_ij, src, ref, cnt,
-                           num_volumes=int(descriptors.count.shape[0]),
-                           ransac_params=ransac_params)
+    return jax.vmap(one_edge)(edges_dev)
+
+
+def register_groupwise_sharded(descriptors, edges_ij, units, mesh,
+                               axis_name: str = "data",
+                               match_params=None,
+                               ransac_params=RansacParams(),
+                               ssd_dtype=jnp.float32) -> GroupwiseResult:
+    """Distributed groupwise registration: the edge workload (matching +
+    RANSAC + Gram accumulation) shards over ``axis_name``; descriptors
+    are replicated; the reduced solve runs replicated after a psum
+    (SURVEY §5.8).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..config import MatchParams
+
+    if match_params is None:
+        match_params = MatchParams()
+    edges_ij = np.asarray(edges_ij)
+    E = len(edges_ij)
+    n_sh = mesh.shape[axis_name]
+    E_pad = -(-E // n_sh) * n_sh
+    # Padded edges match volume 0 against itself but are dropped from the
+    # solve by groupwise_solve_sharded's validity mask; match cost is the
+    # price of the static shape.
+    edges_pad = np.zeros((E_pad, 2), np.int32)
+    edges_pad[:E] = edges_ij
+
+    def local_match(edges_l, desc_rep):
+        return _match_edges(desc_rep, edges_l, units, match_params,
+                            ssd_dtype)
+
+    src, ref, cnt = shard_map(
+        local_match, mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(jnp.asarray(edges_pad), descriptors)
+    return groupwise_solve_sharded(
+        edges_pad[:E], src[:E], ref[:E], cnt[:E],
+        num_volumes=int(descriptors.count.shape[0]), mesh=mesh,
+        axis_name=axis_name, ransac_params=ransac_params)

@@ -108,3 +108,63 @@ def test_groupwise_end_to_end():
         want_t = -np.array([s[2], s[1], s[0]], np.float64) if i else np.zeros(3)
         np.testing.assert_allclose(A[i][:, :3], np.eye(3), atol=5e-2)
         np.testing.assert_allclose(A[i][:, 3], want_t, atol=2.0)
+
+
+def test_groupwise_sharded_equals_single(rng):
+    """Sharded (shard_map + psum) solve == single-device solve on the
+    8-device CPU mesh, including non-divisible edge counts (padding)."""
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.register.groupwise import groupwise_solve_sharded
+
+    edges, src, ref, counts, want = _make_group(rng)   # E = 5 edges
+    params = RansacParams(num_iter=200)
+    res1 = groupwise_solve(edges, jnp.asarray(src), jnp.asarray(ref),
+                           jnp.asarray(counts), num_volumes=4,
+                           ransac_params=params)
+    mesh = make_mesh(jax.devices()[:4], data=4, space=1)
+    res2 = groupwise_solve_sharded(edges, jnp.asarray(src),
+                                   jnp.asarray(ref), jnp.asarray(counts),
+                                   num_volumes=4, mesh=mesh,
+                                   ransac_params=params)
+    assert bool(res2.ok)
+    np.testing.assert_array_equal(np.asarray(res1.edge_inliers),
+                                  np.asarray(res2.edge_inliers))
+    np.testing.assert_allclose(np.asarray(res2.A), np.asarray(res1.A),
+                               rtol=0, atol=1e-8)
+    A = np.asarray(res2.A)
+    for i in range(1, 4):
+        np.testing.assert_allclose(A[i][:, :3], want[i][:, :3], atol=5e-2)
+        np.testing.assert_allclose(A[i][:, 3], want[i][:, 3], atol=1.0)
+
+
+def test_register_groupwise_sharded_end_to_end(rng):
+    """Descriptor-level sharded groupwise matches the unsharded result."""
+    from sift3d_tpu.api import Sift3D
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.register.groupwise import register_groupwise_sharded
+
+    vols = [make_blob_volume((24, 24, 24), seed=s) for s in (3, 4, 5)]
+    s3 = Sift3D(SIFT3DParams(max_kp_per_level=256))
+    descs = []
+    for v in vols:
+        kp = s3.detect(v)
+        descs.append(s3.extract(kp))
+    cap = max(d.capacity for d in descs)
+    from sift3d_tpu.features.descriptor import Descriptors
+    stacked = Descriptors(
+        xyz=jnp.stack([jnp.pad(d.xyz, ((0, cap - d.capacity), (0, 0)))
+                       for d in descs]),
+        sd=jnp.stack([jnp.pad(d.sd, (0, cap - d.capacity))
+                      for d in descs]),
+        vec=jnp.stack([jnp.pad(d.vec, ((0, cap - d.capacity), (0, 0)))
+                       for d in descs]),
+        count=jnp.stack([d.count for d in descs]))
+    edges = np.array([(0, 1), (1, 2), (0, 2)])
+    res1 = register_groupwise(stacked, edges, (1.0, 1.0, 1.0),
+                              ransac_params=RansacParams(num_iter=100))
+    mesh = make_mesh(jax.devices()[:2], data=2, space=1)
+    res2 = register_groupwise_sharded(
+        stacked, edges, (1.0, 1.0, 1.0), mesh,
+        ransac_params=RansacParams(num_iter=100))
+    np.testing.assert_allclose(np.asarray(res2.A), np.asarray(res1.A),
+                               rtol=0, atol=1e-8)

@@ -91,3 +91,29 @@ def test_window_kernel_count_skip(rng):
         jnp.int32(2), radii, cores, units, float(sigma), float(rad),
         interpret=True)))
     np.testing.assert_allclose(got2[:2], want[:2], atol=1e-6)
+
+
+def test_window_kernel_vmap(rng):
+    """The custom_vmap rule (batch flattened into the kernel grid) equals
+    per-volume invocations."""
+    import jax
+    B, n, K = 3, 16, 4
+    levels = rng.standard_normal((B, n, n, n)).astype(np.float32)
+    centers = rng.uniform(3, n - 4, (B, K, 3)).astype(np.float32)
+    Q = np.stack([_rotations(rng, K) for _ in range(B)])
+    sd = 1.6
+    units = (1.0, 1.0, 1.0)
+    sigma, rad, radii, cores = _geometry(sd, units, (n, n, n))
+    counts = jnp.asarray([4, 2, 3], jnp.int32)
+
+    def f(lv, c, r, cnt):
+        return descrip_level_pallas(lv, c, r, cnt, radii, cores, units,
+                                    float(sigma), float(rad),
+                                    interpret=True)
+    out_b = jax.vmap(f)(jnp.asarray(levels), jnp.asarray(centers),
+                        jnp.asarray(Q), counts)
+    for b in range(B):
+        out_0 = f(jnp.asarray(levels[b]), jnp.asarray(centers[b]),
+                  jnp.asarray(Q[b]), counts[b])
+        np.testing.assert_allclose(np.asarray(out_b)[b],
+                                   np.asarray(out_0), atol=1e-6)
