@@ -89,6 +89,103 @@ def postproc_hist(hist: jax.Array, norm: jax.Array) -> jax.Array:
     return v * norm[..., None].astype(jnp.float32)
 
 
+def _dense_hist_window(smooth, center_zyx, R, radii, cores, units,
+                       sigma: float, rad: float) -> jax.Array:
+    """One voxel's rotation-invariant 12-bin histogram
+    (extract_dense_descrip_rotate, reference sift.c:2295-2343):
+    sphere window of radius ``rad`` (mm), unit-corrected gradients
+    rotated by R^T for binning, magnitude x Gaussian weight accumulated
+    into the face's 3 vertex bins."""
+    from .windows import gather_window
+
+    ux, uy, uz = (np.float32(u) for u in units)
+    bz, by, bx = (center_zyx[i].astype(jnp.int32) for i in range(3))
+    win, (sz, sy, sx) = gather_window(smooth, (bz, by, bx), radii, cores)
+    ckz, cky, ckx = cores
+
+    zg = (sz + jnp.arange(ckz, dtype=jnp.int32))[:, None, None]
+    yg = (sy + jnp.arange(cky, dtype=jnp.int32))[None, :, None]
+    xg = (sx + jnp.arange(ckx, dtype=jnp.int32))[None, None, :]
+    vx = (xg - bx).astype(jnp.float32) * ux
+    vy = (yg - by).astype(jnp.float32) * uy
+    vz = (zg - bz).astype(jnp.float32) * uz
+    sq = vx * vx + vy * vy + vz * vz
+    rad32 = jnp.float32(rad)
+    mask = sq <= rad32 * rad32
+
+    gx = jnp.float32(0.5) * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) \
+        * (np.float32(1.0) / ux)
+    gy = jnp.float32(0.5) * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) \
+        * (np.float32(1.0) / uy)
+    gz = jnp.float32(0.5) * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) \
+        * (np.float32(1.0) / uz)
+    sig32 = jnp.float32(sigma)
+    w = jnp.exp(jnp.float32(-0.5) * sq / (sig32 * sig32))
+
+    Rt = R.T.astype(jnp.float32)
+    grx = Rt[0, 0] * gx + Rt[0, 1] * gy + Rt[0, 2] * gz
+    gry = Rt[1, 0] * gx + Rt[1, 1] * gy + Rt[1, 2] * gz
+    grz = Rt[2, 0] * gx + Rt[2, 1] * gy + Rt[2, 2] * gz
+    V = gx.size
+    grad_rot = jnp.stack([grx.reshape(V), gry.reshape(V),
+                          grz.reshape(V)], -1)
+    face, bary, ok = icos_hist_bin(grad_rot)
+    mag = jnp.sqrt(gx * gx + gy * gy + gz * gz).reshape(V)
+    G = vertex_weights(face, bary)                           # (V, 12)
+    wgt = (mask.reshape(V) & ok).astype(jnp.float32) * \
+        w.reshape(V) * mag
+    return jnp.sum(G * wgt[:, None], axis=0)                 # (12,)
+
+
+def _extract_dense_rotate(vol, smooth, units, params) -> jax.Array:
+    """Rotation-invariant dense path (extract_dense_descriptors_rotate,
+    reference sift.c:2521-2588): per voxel, assign an orientation with
+    sigma = sigma0 * ori_sig_fctr (identity when rejected), then
+    accumulate one windowed rotated-gradient histogram with
+    sigma = sigma0 * desc_sig_fctr / NHIST_PER_DIM."""
+    import math
+
+    from ..config import DESC_RAD_FCTR
+    from .orientation import assign_orientations_level, window_radii
+    from .windows import window_extent
+
+    nz, ny, nx = smooth.shape
+    zi, yi, xi = jnp.meshgrid(jnp.arange(nz, dtype=jnp.int32),
+                              jnp.arange(ny, dtype=jnp.int32),
+                              jnp.arange(nx, dtype=jnp.int32),
+                              indexing="ij")
+    coords = jnp.stack([zi.ravel(), yi.ravel(), xi.ravel()], -1)  # (V, 3)
+
+    R, valid = assign_orientations_level(
+        smooth, coords, params.sigma0, units, params.corner_thresh)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    R = jnp.where(valid[:, None, None], R, eye)
+
+    desc_sigma = params.sigma0 * DESC_SIG_FCTR / NHIST_PER_DIM
+    rad = DESC_RAD_FCTR * desc_sigma
+    radii = window_radii(rad, units)
+    Rx, Ry, Rz = radii
+    cores = (window_extent(Rz, nz, True), window_extent(Ry, ny, True),
+             window_extent(Rx, nx, True))
+
+    def one(args):
+        c, r = args
+        return _dense_hist_window(smooth, c, r, (Rz, Ry, Rx), cores,
+                                  units, float(desc_sigma), float(rad))
+
+    V = coords.shape[0]
+    chunk = 128
+    pad = (-V) % chunk
+    c_p = jnp.concatenate([coords, jnp.ones((pad, 3), coords.dtype)])
+    R_p = jnp.concatenate([R, jnp.broadcast_to(eye, (pad, 3, 3))])
+    hist = jax.lax.map(
+        jax.vmap(one),
+        (c_p.reshape(-1, chunk, 3), R_p.reshape(-1, chunk, 3, 3)))
+    hist = hist.reshape(-1, HIST_NUMEL)[:V].reshape(nz, ny, nx, HIST_NUMEL)
+    out = postproc_hist(hist, vol)
+    return jnp.moveaxis(out, -1, 0)
+
+
 def extract_dense_descriptors(vol: jax.Array,
                               units: tuple[float, float, float] = (1., 1., 1.),
                               params: SIFT3DParams = SIFT3DParams(),
@@ -96,13 +193,15 @@ def extract_dense_descriptors(vol: jax.Array,
     """Dense descriptor image (12, nz, ny, nx) float32.
 
     Channel b holds icosahedral-vertex bin b, matching the reference's
-    12-channel output (sift.c:2383-2386). Only the default no-rotation
-    path is implemented; dense_rotate=True raises.
+    12-channel output (sift.c:2383-2386). ``params.dense_rotate``
+    selects the rotation-invariant path (per-voxel orientation +
+    windowed rotated-gradient histograms, sift.c:2521-2588) instead of
+    the fast splat-and-blur path.
     """
     if params.dense_rotate:
-        raise NotImplementedError(
-            "rotation-invariant dense descriptors are not implemented "
-            "(reference extract_dense_descriptors_rotate, sift.c:2521-2588)")
+        vol = vol.astype(jnp.float32)
+        smooth = smooth_scale_raw_input(vol, units, params)
+        return _extract_dense_rotate(vol, smooth, units, params)
     vol = vol.astype(jnp.float32)
     smooth = smooth_scale_raw_input(vol, units, params)
     splat = _bary_splat(smooth, units)

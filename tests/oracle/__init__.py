@@ -171,6 +171,9 @@ class Oracle:
             raise RuntimeError("orc_extract_raw failed")
         return out[:n]
 
+    def set_dense_rotate(self, flag: bool):
+        self.lib.orc_set_dense_rotate(1 if flag else 0)
+
     def dense(self, vol_zyx: np.ndarray, units=(1.0, 1.0, 1.0)):
         nz, ny, nx = vol_zyx.shape
         out = np.zeros(12 * nz * ny * nx, np.float32)

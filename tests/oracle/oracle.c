@@ -196,6 +196,12 @@ int orc_gauss_blur(const float *data, int nx, int ny, int nz,
     return nx * ny * nz;
 }
 
+/* Toggle rotation-invariant dense descriptors (dense_rotate). */
+void orc_set_dense_rotate(int flag) {
+    ensure_init();
+    g_sift.dense_rotate = flag;
+}
+
 /* Dense descriptors: returns 12-channel image as out[b][z][y][x] (b-major).
  * Returns 0 or -1. */
 int orc_dense(const float *data, int nx, int ny, int nz,

@@ -26,6 +26,21 @@ def test_dense_aniso_vs_oracle(oracle):
     np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+def test_dense_rotate_vs_oracle(oracle):
+    """Rotation-invariant dense path (dense_rotate=True) vs the oracle
+    (reference extract_dense_descriptors_rotate, sift.c:2521-2588)."""
+    vol = make_blob_volume((14, 12, 16), seed=14)
+    oracle.set_dense_rotate(True)
+    try:
+        want = oracle.dense(vol)
+    finally:
+        oracle.set_dense_rotate(False)
+    got = np.asarray(extract_dense_descriptors(
+        jnp.asarray(vol), params=SIFT3DParams(dense_rotate=True)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
 def _random_affine(rng):
     A = np.eye(3) + rng.normal(0, 0.05, (3, 3))
     t = rng.normal(0, 2.0, (3, 1))
