@@ -1,8 +1,9 @@
 """File-format dispatch (im_read / im_write, reference imutil.c:1166-1297).
 
 Extension / directory sniffing mirrors im_get_format (imutil.c:1166-1193):
-directories and .dcm files are DICOM; .nii and .nii.gz are NIFTI; anything
-else raises UnsupportedFileTypeError.
+directories and .dcm files are DICOM; .nii, .nii.gz, .img and .img.gz
+(ANALYZE / NIFTI-1 pair) are NIFTI; anything else raises
+UnsupportedFileTypeError.
 """
 
 from __future__ import annotations
@@ -20,7 +21,10 @@ def _get_format(path: str, must_exist: bool) -> str:
     lower = str(path).lower()
     if lower.endswith(".dcm"):
         return "dicom"
-    if lower.endswith(".nii") or lower.endswith(".nii.gz"):
+    if (lower.endswith(".nii") or lower.endswith(".nii.gz") or
+            lower.endswith(".img") or lower.endswith(".img.gz")):
+        # .img = ANALYZE / NIFTI-1 pair, routed through the NIFTI codec
+        # like the reference (imutil.c:1181-1185, ext_analyze).
         return "nifti"
     if must_exist and not os.path.exists(path):
         raise FileDoesNotExistError(path)

@@ -40,11 +40,28 @@ def _open(path: str, mode: str):
     return open(path, mode)
 
 
+def _img_pair(path: str):
+    """(hdr_path, img_path) for an ANALYZE / NIFTI-pair .img path."""
+    gz = ".gz" if str(path).endswith(".gz") else ""
+    stem = os.path.splitext(path[:-3] if gz else path)[0]
+    hdr = stem + ".hdr" + gz
+    if not os.path.exists(hdr):
+        hdr = stem + ".hdr"         # mixed compression: plain .hdr
+    return hdr, path
+
+
 def read_nii(path: str) -> Volume:
-    """Read a .nii or .nii.gz file into a Volume."""
+    """Read a .nii / .nii.gz file - or an ANALYZE / NIFTI-1 pair given as
+    .img / .img.gz (the reference routes .img through nifticlib the same
+    way, imutil.c:1181-1185) - into a Volume."""
     if not os.path.exists(path):
         raise FileDoesNotExistError(path)
-    with _open(path, "rb") as f:
+    lower = str(path).lower()
+    is_img = lower.endswith(".img") or lower.endswith(".img.gz")
+    hdr_path = _img_pair(path)[0] if is_img else path
+    if not os.path.exists(hdr_path):
+        raise FileDoesNotExistError(hdr_path)
+    with _open(hdr_path, "rb") as f:
         hdr = f.read(_HDR_SIZE)
         if len(hdr) < _HDR_SIZE:
             raise UnsupportedFileTypeError(f"{path}: truncated header")
@@ -55,9 +72,12 @@ def read_nii(path: str) -> Volume:
             bo = ">"
             if sizeof_hdr != _HDR_SIZE:
                 raise UnsupportedFileTypeError(
-                    f"{path}: not a NIFTI-1 file")
+                    f"{path}: not a NIFTI-1/ANALYZE file")
         magic = hdr[344:348]
-        if magic[:3] not in (b"n+1", b"ni1"):
+        # Blank magic = ANALYZE 7.5 (same header layout; scl_slope /
+        # scl_inter are "funused" fields there and must be ignored).
+        is_analyze = magic[:3] not in (b"n+1", b"ni1")
+        if is_analyze and not is_img:
             raise UnsupportedFileTypeError(f"{path}: bad magic {magic!r}")
         dim = struct.unpack_from(bo + "8h", hdr, 40)
         datatype = struct.unpack_from(bo + "h", hdr, 70)[0]
@@ -87,7 +107,10 @@ def read_nii(path: str) -> Volume:
         nc = dims[3] if dim_counter == 4 else 1
         count = nx * ny * nz * nc
 
-        if magic[:3] == b"ni1":   # separate .img file
+        if is_img:
+            with _open(path, "rb") as g:
+                raw = g.read(count * dt.itemsize)
+        elif magic[:3] == b"ni1":   # .hdr given; data in separate .img
             img_path = os.path.splitext(
                 path[:-3] if path.endswith(".gz") else path)[0] + ".img"
             with _open(img_path + (".gz" if path.endswith(".gz") else ""),
@@ -101,7 +124,10 @@ def read_nii(path: str) -> Volume:
     # NIFTI order: x fastest, then y, z, t -> (t=c, z, y, x)
     arr = arr.reshape(nc, nz, ny, nx)
 
-    slope = 1.0 if scl_slope == 0.0 else float(scl_slope)
+    if is_analyze:
+        slope, scl_inter = 1.0, 0.0   # funused fields in ANALYZE 7.5
+    else:
+        slope = 1.0 if scl_slope == 0.0 else float(scl_slope)
     data = (arr.astype(np.float64) * slope +
             float(scl_inter)).astype(np.float32)
     data = np.moveaxis(data, 0, -1)                       # (z, y, x, c)
@@ -113,7 +139,9 @@ def read_nii(path: str) -> Volume:
 
 
 def write_nii(path: str, vol: Volume) -> None:
-    """Write a Volume as .nii or .nii.gz (always float32, slope 1)."""
+    """Write a Volume as .nii / .nii.gz (always float32, slope 1), or as
+    a NIFTI-1 pair (.hdr + .img, the modern ANALYZE encoding nifticlib
+    emits for .img paths) when given a .img / .img.gz path."""
     data = np.asarray(vol.data, np.float32)
     if data.ndim == 3:
         data = data[..., None]
@@ -130,14 +158,27 @@ def write_nii(path: str, vol: Volume) -> None:
     ux, uy, uz = vol.units
     pixdim = [1.0, ux, uy, uz, 0.0 if multi else 1.0, 1.0, 1.0, 1.0]
     struct.pack_into("<8f", hdr, 76, *pixdim)
-    struct.pack_into("<f", hdr, 108, 352.0)               # vox_offset
+    lower = str(path).lower()
+    is_img = lower.endswith(".img") or lower.endswith(".img.gz")
+    struct.pack_into("<f", hdr, 108, 0.0 if is_img else 352.0)  # vox_offset
     struct.pack_into("<f", hdr, 112, 1.0)                 # scl_slope
     struct.pack_into("<f", hdr, 116, 0.0)                 # scl_inter
     struct.pack_into("<b", hdr, 123, 2)                   # xyzt_units: mm
     # qform/sform codes 0; qfac in pixdim[0] = 1
-    struct.pack_into("<4s", hdr, 344, b"n+1\x00")
+    struct.pack_into("<4s", hdr, 344, b"ni1\x00" if is_img else b"n+1\x00")
 
     payload = np.moveaxis(data, -1, 0)                    # (c, z, y, x)
+    if is_img:
+        hdr_path, img_path = _img_pair(path)
+        gz = ".gz" if lower.endswith(".gz") else ""
+        hdr_path = os.path.splitext(
+            path[:-3] if gz else path)[0] + ".hdr" + gz
+        with _open(hdr_path, "wb") as f:
+            f.write(bytes(hdr))
+            f.write(b"\x00" * 4)
+        with _open(img_path, "wb") as f:
+            f.write(payload.tobytes())
+        return
     with _open(path, "wb") as f:
         f.write(bytes(hdr))
         f.write(b"\x00" * 4)                              # extension flag

@@ -69,6 +69,44 @@ def test_nifti_scl_slope(tmp_path):
     assert v.units == (2.0, 3.0, 4.0)
 
 
+def test_analyze_img_roundtrip(tmp_path, rng):
+    """ANALYZE / NIFTI-pair .img write -> read round trip + dispatch
+    (reference routes .img through the NIFTI reader, imutil.c:1181)."""
+    from sift3d_tpu.io import im_read, im_write
+    from sift3d_tpu.io.volume import Volume
+    vol = rng.random((5, 6, 7)).astype(np.float32)
+    path = str(tmp_path / "a.img")
+    im_write(path, Volume(vol, (1.5, 2.0, 0.5)))
+    assert (tmp_path / "a.hdr").exists()
+    back = im_read(path)
+    assert back.units == (1.5, 2.0, 0.5)
+    np.testing.assert_array_equal(back.data, vol)
+
+
+def test_analyze75_crafted_read(tmp_path, rng):
+    """A crafted ANALYZE 7.5 pair (blank magic, funused scl fields) must
+    read with slope/intercept ignored."""
+    import struct
+    from sift3d_tpu.io import im_read
+    nx, ny, nz = 4, 3, 2
+    data = (rng.random((nz, ny, nx)) * 100).astype(np.int16)
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, 4)            # int16
+    struct.pack_into("<h", hdr, 72, 16)           # bitpix
+    struct.pack_into("<8f", hdr, 76, 1.0, 2.0, 3.0, 4.0, 1, 1, 1, 1)
+    # garbage in the NIFTI scl fields: funused in ANALYZE, must be ignored
+    struct.pack_into("<f", hdr, 112, 7.5)
+    struct.pack_into("<f", hdr, 116, -3.0)
+    (tmp_path / "b.hdr").write_bytes(bytes(hdr))
+    (tmp_path / "b.img").write_bytes(data.tobytes())
+    v = im_read(str(tmp_path / "b.img"))
+    assert v.data.shape == (nz, ny, nx)
+    assert v.units == (2.0, 3.0, 4.0)
+    np.testing.assert_array_equal(v.data, data.astype(np.float32))
+
+
 def test_io_errors(tmp_path):
     with pytest.raises(FileDoesNotExistError):
         im_read(str(tmp_path / "missing.nii"))
