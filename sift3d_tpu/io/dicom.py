@@ -61,6 +61,8 @@ def _get_lib():
         fn = getattr(lib, name)
         fn.restype = c.c_int
         fn.argtypes = [c.c_char_p, f32p]
+    lib.s3d_dcm_dso_read.restype = c.c_int
+    lib.s3d_dcm_dso_read.argtypes = [c.c_char_p, c.c_char_p, f32p]
     lib.s3d_dcm_write.restype = c.c_int
     lib.s3d_dcm_write.argtypes = [c.c_char_p, f32p] + [c.c_int] * 3 + \
         [c.c_double] * 3 + [c.c_char_p, c.c_int]
@@ -103,6 +105,26 @@ def read_dcm(path: str) -> Volume:
     if not os.path.exists(path):
         raise FileDoesNotExistError(path)
     return _read(path, "s3d_dcm_query", "s3d_dcm_read")
+
+
+def read_dso(dso_path: str, im_dir: str) -> Volume:
+    """Read a single-segment DICOM Segmentation Object's binary mask into
+    the geometry of its referenced image series (read_dso, reference
+    dicom.cpp:1012-1149): DSO frames map to the sorted slices by
+    ReferencedSOPInstanceUID; unreferenced slices stay zero."""
+    if not os.path.exists(dso_path):
+        raise FileDoesNotExistError(dso_path)
+    if not os.path.exists(im_dir):
+        raise FileDoesNotExistError(im_dir)
+    lib = _get_lib()
+    dims = np.zeros(4, np.int32)
+    units = np.zeros(3, np.float64)
+    _check(lib, lib.s3d_dcm_dir_query(im_dir.encode(), dims, units))
+    nx, ny, nz, _ = (int(d) for d in dims)
+    out = np.zeros(nz * ny * nx, np.float32)
+    _check(lib, lib.s3d_dcm_dso_read(dso_path.encode(), im_dir.encode(),
+                                     out))
+    return Volume(out.reshape(nz, ny, nx), tuple(units))
 
 
 def read_dcm_dir(path: str) -> Volume:

@@ -89,6 +89,8 @@ const Tag kRescaleIntercept {0x0028, 0x1052};
 const Tag kRescaleSlope     {0x0028, 0x1053};
 const Tag kPixelData        {0x7FE0, 0x0010};
 // PET SUV tags (searched into sequences, like DCMTK's searchIntoSub)
+const Tag kRefSOPInstance   {0x0008, 0x1155};
+const Tag kSegmentNumber    {0x0062, 0x0004};
 const Tag kPatientWeight    {0x0010, 0x1010};
 const Tag kRadioTotalDose   {0x0018, 0x1074};
 const Tag kRadioStartTime   {0x0018, 0x1072};
@@ -182,7 +184,11 @@ struct Parser {
 
 struct DcmFile {
     std::string transfer_syntax;
-    std::string sop_class, series_uid;
+    std::string sop_class, series_uid, sop_instance;
+    // DSO fields: per-frame referenced instance UIDs (document order,
+    // reference dicom.cpp:1104-1117) and SegmentSequence entry count.
+    std::vector<std::string> ref_instance_uids;
+    int n_segments = 0;
     double im_pos[3] = {0, 0, 0};
     double im_ori[6] = {1, 0, 0, 0, 1, 0};
     bool has_ori = false, has_pos = false;
@@ -306,10 +312,15 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
             parse_tm(as_str(), &f.radio_start_time);
         else if (t == kAcquisitionTime)
             parse_tm(as_str(), &f.acq_time);
+        else if (t == kRefSOPInstance && depth > 0)
+            f.ref_instance_uids.push_back(as_str());
+        else if (t == kSegmentNumber)
+            f.n_segments++;
         if (depth > 0)
             return;
 
         if (t == kSOPClassUID) f.sop_class = as_str();
+        else if (t == kSOPInstanceUID) f.sop_instance = as_str();
         else if (t == kSeriesUID) f.series_uid = as_str();
         else if (t == kImagePosition) {
             f.has_pos = parse_multi_double(as_str(), f.im_pos, 3);
@@ -486,7 +497,8 @@ int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
         set_err("%s: only single-channel DICOM is supported", path);
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
-    size_t bytes = (size_t)f.bits_alloc / 8 * n;
+    size_t bytes = f.bits_alloc == 1 ? (n + 7) / 8
+                                      : (size_t)f.bits_alloc / 8 * n;
     if (f.pixel_data.size() < bytes) {
         set_err("%s: pixel data too short", path);
         return S3D_FAILURE;
@@ -532,6 +544,11 @@ int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
                 size_t i = (size_t)z * nx * ny + (size_t)y * nx + x;
                 double v;
                 switch (f.bits_alloc) {
+                case 1:
+                    // Binary segmentation frames: bit-packed, LSB first
+                    // (PS3.5 8.1.1; DcmSegmentation unpacks the same way).
+                    v = (double)((d[i >> 3] >> (i & 7)) & 1);
+                    break;
                 case 8:
                     v = f.pixel_rep ? (double)((const int8_t *)d)[i]
                                     : (double)d[i];
@@ -884,6 +901,70 @@ int s3d_dcm_dir_read(const char *dirpath, float *out) {
         ret = copy_pixels(f, s.g, out + off, s.path.c_str());
         if (ret != S3D_SUCCESS) return ret;
         off += plane * f.frames;
+    }
+    return S3D_SUCCESS;
+}
+
+/* Read a single-segment DICOM Segmentation Object (DSO) into the
+ * geometry of its referenced image directory (reference read_dso,
+ * dicom.cpp:1012-1149): the DSO's binary frames are matched to the
+ * sorted image slices by ReferencedSOPInstanceUID; unmatched slices
+ * stay zero. out must hold the directory's (nz, ny, nx) floats. */
+int s3d_dcm_dso_read(const char *dso_path, const char *im_dir,
+                     float *out) {
+    DcmFile f;
+    int ret = parse_file(dso_path, f, true);
+    if (ret != S3D_SUCCESS) return ret;
+    if (f.sop_class != UID_DSO) {
+        set_err("%s: not a DICOM Segmentation Object", dso_path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    if (f.n_segments != 1) {
+        set_err("%s: only single-segment DSOs are supported", dso_path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    if ((int)f.ref_instance_uids.size() != f.frames) {
+        set_err("%s: DSO frame count does not match its referenced "
+                "instance count", dso_path);
+        return S3D_FAILURE;
+    }
+    std::vector<DirSlice> slices;
+    ret = scan_dir(im_dir, slices);
+    if (ret != S3D_SUCCESS) return ret;
+    int d[3]; double u[3];
+    ret = dir_geometry(slices, d, u);
+    if (ret != S3D_SUCCESS) return ret;
+    if (slices[0].g.sort_axis != 2) {
+        set_err("%s: only z-sorted referenced series are supported",
+                im_dir);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    if (f.cols != d[0] || f.rows != d[1]) {
+        set_err("%s: DSO frame dims do not match the referenced series",
+                dso_path);
+        return S3D_FAILURE;
+    }
+    // Decode the DSO's own frames (binary 1-bit or 8-bit) with default
+    // axes; segmentation rescale/PET paths do not apply.
+    Geometry g;
+    std::vector<float> tmp((size_t)f.cols * f.rows * f.frames);
+    ret = copy_pixels(f, g, tmp.data(), dso_path);
+    if (ret != S3D_SUCCESS) return ret;
+
+    const size_t plane = (size_t)d[0] * d[1];
+    memset(out, 0, plane * (size_t)d[2] * sizeof(float));
+    for (int k = 0; k < f.frames; k++) {
+        const std::string &uid = f.ref_instance_uids[k];
+        int m = -1;
+        for (size_t s = 0; s < slices.size(); s++)
+            if (slices[s].f.sop_instance == uid) { m = (int)s; break; }
+        if (m < 0) {
+            set_err("%s: no image found with referenced SOPInstanceUID %s",
+                    dso_path, uid.c_str());
+            return S3D_FAILURE;
+        }
+        memcpy(out + (size_t)m * plane, tmp.data() + (size_t)k * plane,
+               plane * sizeof(float));
     }
     return S3D_SUCCESS;
 }

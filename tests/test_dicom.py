@@ -279,3 +279,95 @@ def test_dcm_rescale_slope(tmp_path, rng):
     v = dicom.read_dcm(path)
     want = pix.astype(np.float64) * 2.5 - 10.0
     np.testing.assert_allclose(v.data[0].ravel(), want.astype(np.float32))
+
+
+def _explicit_elem(group, el, vr, payload):
+    import struct
+    if len(payload) % 2:
+        payload += b"\x00" if vr == b"UI" else b" "
+    if vr in (b"OB", b"OW", b"UN", b"UT", b"SQ"):
+        return struct.pack("<HH2sHI", group, el, vr, 0,
+                           len(payload)) + payload
+    return struct.pack("<HH2sH", group, el, vr, len(payload)) + payload
+
+
+def _write_slice(path, inst_uid, z, pix, series="9.9.9"):
+    import struct
+    ny, nx = pix.shape
+    e = _explicit_elem
+    meta = e(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    body = b"".join([
+        e(0x0008, 0x0016, b"UI", b"1.2.840.10008.5.1.4.1.1.2"),
+        e(0x0008, 0x0018, b"UI", inst_uid.encode()),
+        e(0x0020, 0x000E, b"UI", series.encode()),
+        e(0x0020, 0x0032, b"DS", f"0\\0\\{z}".encode()),
+        e(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"),
+        e(0x0028, 0x0010, b"US", struct.pack("<H", ny)),
+        e(0x0028, 0x0011, b"US", struct.pack("<H", nx)),
+        e(0x0028, 0x0030, b"DS", b"1\\1"),
+        e(0x0018, 0x0050, b"DS", b"1"),
+        e(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+        e(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        e(0x7FE0, 0x0010, b"OB", pix.astype(np.uint8).tobytes()),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def test_dso_read(tmp_path, rng):
+    """Single-segment DSO: 1-bit frames matched to slices by
+    ReferencedSOPInstanceUID (reference read_dso, dicom.cpp:1012-1149);
+    unreferenced slices stay zero and reference order need not match
+    slice order."""
+    import struct
+    e = _explicit_elem
+    nx, ny, nz = 8, 4, 3
+    d = tmp_path / "series"
+    d.mkdir()
+    uids = [f"7.7.{k}" for k in range(nz)]
+    for k in range(nz):
+        _write_slice(str(d / f"s{k}.dcm"), uids[k], k,
+                     (rng.random((ny, nx)) * 200).astype(np.uint8))
+
+    # Two 1-bit frames referencing slices 2 and 0 (out of order).
+    frames = np.zeros((2, ny, nx), np.uint8)
+    frames[0, 1, 2:5] = 1          # goes to slice z=2
+    frames[1, 3, :2] = 1           # goes to slice z=0
+    bits = np.packbits(frames.reshape(-1), bitorder="little").tobytes()
+
+    def ref_item(uid):
+        body = e(0x0008, 0x1155, b"UI", uid.encode())
+        return struct.pack("<HHI", 0xFFFE, 0xE000, len(body)) + body
+
+    ref_seq = e(0x0008, 0x1115, b"SQ",
+                struct.pack("<HHI", 0xFFFE, 0xE000, 0)[:0] +
+                _seq_items([ref_item(uids[2]), ref_item(uids[0])]))
+    seg_body = e(0x0062, 0x0004, b"US", struct.pack("<H", 1))
+    seg_item = struct.pack("<HHI", 0xFFFE, 0xE000, len(seg_body)) + seg_body
+    seg_seq = e(0x0062, 0x0002, b"SQ", seg_item)
+
+    meta = e(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    body = b"".join([
+        e(0x0008, 0x0016, b"UI", b"1.2.840.10008.5.1.4.1.1.66.4"),
+        e(0x0008, 0x0018, b"UI", b"7.8.1"),
+        seg_seq,
+        ref_seq,
+        e(0x0028, 0x0008, b"IS", b"2"),
+        e(0x0028, 0x0010, b"US", struct.pack("<H", ny)),
+        e(0x0028, 0x0011, b"US", struct.pack("<H", nx)),
+        e(0x0028, 0x0100, b"US", struct.pack("<H", 1)),
+        e(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        e(0x7FE0, 0x0010, b"OB", bits),
+    ])
+    dso = tmp_path / "seg.dcm"
+    dso.write_bytes(b"\x00" * 128 + b"DICM" + meta + body)
+
+    mask = dicom.read_dso(str(dso), str(d))
+    assert mask.data.shape == (nz, ny, nx)
+    np.testing.assert_array_equal(mask.data[2], frames[0])
+    np.testing.assert_array_equal(mask.data[0], frames[1])
+    np.testing.assert_array_equal(mask.data[1], 0)
+
+
+def _seq_items(items):
+    return b"".join(items)
