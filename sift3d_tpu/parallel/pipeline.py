@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import pyramid as pyr_mod
 from ..config import MatchParams, RansacParams, SIFT3DParams
 from ..features.descriptor import extract_descriptors
-from ..features.detect import detect_keypoints_pyr
+from ..features.detect import detect_keypoints_pyr  # noqa: F401 (re-export)
 from ..ops import conv
 from .shard_conv import conv_sep_sharded
 
@@ -89,21 +89,46 @@ def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
 
     Returns (keypoints, descriptors) pytrees with a leading batch axis.
     """
+    from ..features import detect as detect_mod
+    from ..features import extrema as extrema_mod
+    from .shard_extrema import level_extrema_sharded
+
     scaled = jax.vmap(pyr_mod.im_scale)(vols.astype(jnp.float32))
     gpyr_b = build_gpyr_batched(scaled, plan, mesh)
+    # DoG is an elementwise subtraction: stays z-sharded.
+    dog_b = pyr_mod.build_dog(gpyr_b, plan)
 
-    # Feature stages run data-parallel on replicated-z levels.
+    # Extrema stay z-sharded (halo 1 + pmax for the relative threshold +
+    # scan-order merge) on levels whose z extent divides the axis;
+    # geometrically tiny deep octaves fall back to replicated-z.
+    n_space = mesh.shape["space"]
+    ext = {}
+    for o, s in detect_mod.kp_levels(plan):
+        cap = detect_mod.level_cap(plan, o, params)
+        nz_o = dog_b[(o, s)].shape[1]
+        if n_space > 1 and nz_o % n_space == 0 and nz_o // n_space >= 2:
+            ext[(o, s)] = level_extrema_sharded(
+                dog_b[(o, s - 1)], dog_b[(o, s)], dog_b[(o, s + 1)],
+                params.peak_thresh, cap, mesh)
+        else:
+            ext[(o, s)] = jax.vmap(
+                lambda p, c, n: extrema_mod.level_extrema(
+                    p, c, n, params.peak_thresh, cap))(
+                dog_b[(o, s - 1)], dog_b[(o, s)], dog_b[(o, s + 1)])
+
+    # Windowed feature stages run data-parallel on replicated-z levels.
     rep = NamedSharding(mesh, P("data", None, None, None))
     gpyr_b = {k: jax.lax.with_sharding_constraint(v, rep)
               for k, v in gpyr_b.items()}
 
-    def one_volume(gpyr):
-        dog = pyr_mod.build_dog(gpyr, plan)
-        kp = detect_keypoints_pyr(gpyr, dog, plan, params)
+    caps = {k: detect_mod.level_cap(plan, k[0], params) for k in ext}
+
+    def one_volume(gpyr, ext_v):
+        kp = detect_mod.orient_levels(gpyr, ext_v, caps, plan, params)
         desc = extract_descriptors(gpyr, kp, plan, params)
         return kp, desc
 
-    return jax.vmap(one_volume)(gpyr_b)
+    return jax.vmap(one_volume)(gpyr_b, ext)
 
 
 def batch_register_pairs(src_vols: jax.Array, ref_vols: jax.Array,

@@ -47,3 +47,62 @@ def test_conv_sep_sharded_single_shard():
     want = np.asarray(conv.conv_sep(vol, taps, 1.0, (1., 1., 1.)))
     got = np.asarray(conv_sep_sharded(vol, taps, 1.0, (1., 1., 1.), mesh))
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_sharded_extrema_matches_local(rng):
+    """z-sharded extrema (halo + pmax + scan-order merge) == local."""
+    import jax.numpy as jnp
+    from sift3d_tpu.features.extrema import level_extrema
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.parallel.shard_extrema import level_extrema_sharded
+    from tests.conftest import make_blob_volume
+
+    B, cap = 2, 64
+    prev = np.stack([make_blob_volume((16, 12, 20), seed=s)
+                     for s in (1, 2)])
+    cur = np.stack([make_blob_volume((16, 12, 20), seed=s)
+                    for s in (3, 4)])
+    nxt = np.stack([make_blob_volume((16, 12, 20), seed=s)
+                    for s in (5, 6)])
+    want_zyx, want_cnt = [], []
+    for b in range(B):
+        z, c = level_extrema(jnp.asarray(prev[b]), jnp.asarray(cur[b]),
+                             jnp.asarray(nxt[b]), 0.1, cap)
+        want_zyx.append(np.asarray(z))
+        want_cnt.append(int(c))
+    mesh = make_mesh(jax.devices()[:8], data=2, space=4)
+    got_zyx, got_cnt = level_extrema_sharded(
+        jnp.asarray(prev), jnp.asarray(cur), jnp.asarray(nxt), 0.1, cap,
+        mesh)
+    np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+    np.testing.assert_array_equal(np.asarray(got_zyx), np.stack(want_zyx))
+
+
+def test_batch_detect_describe_matches_single(rng):
+    """The sharded batch pipeline (incl. z-sharded extrema) equals the
+    single-volume path."""
+    import jax.numpy as jnp
+    from sift3d_tpu import pyramid as pyr_mod
+    from sift3d_tpu.config import SIFT3DParams
+    from sift3d_tpu.features.descriptor import extract_descriptors
+    from sift3d_tpu.features.detect import detect_keypoints
+    from sift3d_tpu.parallel import make_mesh
+    from sift3d_tpu.parallel.pipeline import batch_detect_describe
+    from tests.conftest import make_blob_volume
+
+    params = SIFT3DParams(max_kp_per_level=128)
+    vols = np.stack([make_blob_volume((16, 16, 16), seed=s)
+                     for s in (7, 8)])
+    plan = pyr_mod.plan_pyramid((16, 16, 16), (1., 1., 1.), params)
+    mesh = make_mesh(jax.devices()[:8], data=2, space=4)
+    kp_b, desc_b = batch_detect_describe(jnp.asarray(vols), plan, params,
+                                         mesh)
+    for b in range(2):
+        kp, gpyr, _ = detect_keypoints(jnp.asarray(vols[b]),
+                                       (1., 1., 1.), params)
+        desc = extract_descriptors(gpyr, kp, plan, params)
+        nb = int(np.asarray(kp_b.count)[b])
+        assert nb == int(kp.count)
+        np.testing.assert_allclose(
+            np.asarray(desc_b.vec)[b][:nb], np.asarray(desc.vec)[:nb],
+            atol=1e-5)
