@@ -89,6 +89,7 @@ const Tag kRescaleIntercept {0x0028, 0x1052};
 const Tag kRescaleSlope     {0x0028, 0x1053};
 const Tag kPixelData        {0x7FE0, 0x0010};
 // PET SUV tags (searched into sequences, like DCMTK's searchIntoSub)
+const Tag kRefSeriesSeq     {0x0008, 0x1115};
 const Tag kRefSOPInstance   {0x0008, 0x1155};
 const Tag kSegmentNumber    {0x0062, 0x0004};
 const Tag kPatientWeight    {0x0010, 0x1010};
@@ -292,7 +293,7 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
     // only the sequence-searchable SUV tags are consumed (the DCMTK
     // searchIntoSub behavior, dicom.cpp:669-726).
     auto consume = [&](Tag t, const std::string &vr, const uint8_t *v,
-                       uint32_t len, int depth) {
+                       uint32_t len, int depth, bool in_ref_series) {
         auto as_str = [&]() { return trim(std::string((const char *)v, len)); };
         auto as_us = [&]() -> long {
             if (len == 2) { uint16_t x; memcpy(&x, v, 2); return x; }
@@ -312,7 +313,12 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
             parse_tm(as_str(), &f.radio_start_time);
         else if (t == kAcquisitionTime)
             parse_tm(as_str(), &f.acq_time);
-        else if (t == kRefSOPInstance && depth > 0)
+        // Per-frame UID references: only those under ReferencedSeries-
+        // Sequence (0008,1115) -> ReferencedInstanceSequence count
+        // (reference read_dso, dicom.cpp:1049-1063). Real DSOs also
+        // carry (0008,1155) in PerFrameFunctionalGroups Derivation/
+        // SourceImageSequence, which must NOT inflate the frame map.
+        else if (t == kRefSOPInstance && in_ref_series)
             f.ref_instance_uids.push_back(as_str());
         else if (t == kSegmentNumber)
             f.n_segments++;
@@ -349,8 +355,8 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
     // Walk elements, descending into sequences. Returns false on a
     // malformed stream. stop_tag: FFFE,E00D (item end) / FFFE,E0DD
     // (sequence end) terminate the enclosing scope.
-    std::function<bool(Parser &, int)> walk = [&](Parser &pr,
-                                                  int depth) -> bool {
+    std::function<bool(Parser &, int, bool)> walk =
+        [&](Parser &pr, int depth, bool in_ref_series) -> bool {
         while (pr.avail(8)) {
             Tag t; std::string vr; uint32_t len;
             if (!pr.header(t, vr, len)) return depth == 0;
@@ -372,6 +378,7 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
                 (len == 0xFFFFFFFFu && !(t == kPixelData)) ||
                 implicit_defined_sq;
             if (is_sq) {
+                const bool sub_ref = in_ref_series || t == kRefSeriesSeq;
                 if (len == 0xFFFFFFFFu) {
                     // Items until the FFFE,E0DD delimiter.
                     for (;;) {
@@ -381,11 +388,11 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
                         if (!(it.group == 0xFFFE && it.elem == 0xE000))
                             return false;
                         if (ilen == 0xFFFFFFFFu) {
-                            if (!walk(pr, depth + 1)) return false;
+                            if (!walk(pr, depth + 1, sub_ref)) return false;
                         } else {
                             if (!pr.avail(ilen)) return false;
                             Parser sub{pr.p, pr.p + ilen, pr.explicit_vr};
-                            if (!walk(sub, depth + 1)) return false;
+                            if (!walk(sub, depth + 1, sub_ref)) return false;
                             pr.p += ilen;
                         }
                     }
@@ -401,12 +408,13 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
                         if (!(it.group == 0xFFFE && it.elem == 0xE000))
                             break;
                         if (ilen == 0xFFFFFFFFu) {
-                            if (!walk(sub, depth + 1)) return false;
+                            if (!walk(sub, depth + 1, sub_ref)) return false;
                         } else {
                             if (!sub.avail(ilen)) break;
                             Parser isub{sub.p, sub.p + ilen,
                                         sub.explicit_vr};
-                            if (!walk(isub, depth + 1)) return false;
+                            if (!walk(isub, depth + 1, sub_ref))
+                                return false;
                             sub.p += ilen;
                         }
                     }
@@ -415,13 +423,13 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
                 continue;
             }
             if (len == 0xFFFFFFFFu || !pr.avail(len)) return false;
-            consume(t, vr, pr.p, len, depth);
+            consume(t, vr, pr.p, len, depth, in_ref_series);
             pr.p += len;
         }
         return true;
     };
 
-    if (!walk(ps, 0)) {
+    if (!walk(ps, 0, false)) {
         set_err("%s: malformed element stream", path);
         return S3D_FAILURE;
     }

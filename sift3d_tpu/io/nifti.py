@@ -107,14 +107,21 @@ def read_nii(path: str) -> Volume:
         nc = dims[3] if dim_counter == 4 else 1
         count = nx * ny * nz * nc
 
+        # NIFTI-1 pairs (ni1 magic) honor vox_offset inside the .img
+        # payload (nifticlib does the same); ANALYZE pairs start at 0.
+        img_off = 0 if is_analyze else int(vox_offset)
         if is_img:
             with _open(path, "rb") as g:
+                if img_off:
+                    g.seek(img_off)
                 raw = g.read(count * dt.itemsize)
         elif magic[:3] == b"ni1":   # .hdr given; data in separate .img
             img_path = os.path.splitext(
                 path[:-3] if path.endswith(".gz") else path)[0] + ".img"
             with _open(img_path + (".gz" if path.endswith(".gz") else ""),
                        "rb") as g:
+                if img_off:
+                    g.seek(img_off)
                 raw = g.read(count * dt.itemsize)
         else:
             f.seek(int(vox_offset))

@@ -27,7 +27,8 @@ def nn_match_sharded(d1: jax.Array, d2: jax.Array, nn_thresh: float,
                      mesh: Mesh, axis_name: str = "space",
                      valid1: jax.Array | None = None,
                      valid2: jax.Array | None = None,
-                     dtype=jnp.float32, streamed: bool | None = None
+                     dtype=jnp.float32, streamed: bool | None = None,
+                     streamed_threshold: int | None = None
                      ) -> jax.Array:
     """Match d1 (replicated) against d2 (sharded along rows).
 
@@ -37,7 +38,7 @@ def nn_match_sharded(d1: jax.Array, d2: jax.Array, nn_thresh: float,
       streamed: use the Pallas streaming reduction for the per-shard
         local top-2 (O(N1 + N2/S) HBM per shard instead of the
         (N1, N2/S) block). Default: on TPU once the local block exceeds
-        4M entries.
+        ``streamed_threshold`` entries (MatchParams.streamed_threshold).
 
     Returns (N1,) int32 matches (replicated on every shard).
     """
@@ -51,7 +52,10 @@ def nn_match_sharded(d1: jax.Array, d2: jax.Array, nn_thresh: float,
         valid2 = jnp.ones((n2,), bool)
     on_tpu = jax.default_backend() == "tpu"
     if streamed is None:
-        streamed = on_tpu and n1 * n2_loc >= 4 * 1024 * 1024
+        if streamed_threshold is None:
+            from ..config import MatchParams
+            streamed_threshold = MatchParams().streamed_threshold
+        streamed = on_tpu and n1 * n2_loc >= streamed_threshold
 
     def local(d1_r, d2_blk, v1, v2_blk):
         s = jax.lax.axis_index(axis_name)

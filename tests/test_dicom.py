@@ -316,9 +316,12 @@ def _write_slice(path, inst_uid, z, pix, series="9.9.9"):
 
 def test_dso_read(tmp_path, rng):
     """Single-segment DSO: 1-bit frames matched to slices by
-    ReferencedSOPInstanceUID (reference read_dso, dicom.cpp:1012-1149);
+    ReferencedSOPInstanceUID under ReferencedSeriesSequence ->
+    ReferencedInstanceSequence (reference read_dso, dicom.cpp:1049-1063);
     unreferenced slices stay zero and reference order need not match
-    slice order."""
+    slice order. (0008,1155) references elsewhere in the dataset (e.g.
+    PerFrameFunctionalGroups DerivationImage/SourceImageSequence, as
+    written by dcmqi) must NOT inflate the frame map."""
     import struct
     e = _explicit_elem
     nx, ny, nz = 8, 4, 3
@@ -335,16 +338,28 @@ def test_dso_read(tmp_path, rng):
     frames[1, 3, :2] = 1           # goes to slice z=0
     bits = np.packbits(frames.reshape(-1), bitorder="little").tobytes()
 
-    def ref_item(uid):
-        body = e(0x0008, 0x1155, b"UI", uid.encode())
+    def item(body):
         return struct.pack("<HHI", 0xFFFE, 0xE000, len(body)) + body
 
-    ref_seq = e(0x0008, 0x1115, b"SQ",
-                struct.pack("<HHI", 0xFFFE, 0xE000, 0)[:0] +
-                _seq_items([ref_item(uids[2]), ref_item(uids[0])]))
+    def ref_item(uid):
+        return item(e(0x0008, 0x1155, b"UI", uid.encode()))
+
+    # Real-world nesting: ReferencedSeriesSequence -> item ->
+    # ReferencedInstanceSequence -> items with (0008,1155).
+    ref_inst_seq = e(0x0008, 0x114A, b"SQ",
+                     _seq_items([ref_item(uids[2]), ref_item(uids[0])]))
+    ref_seq = e(0x0008, 0x1115, b"SQ", item(
+        e(0x0020, 0x000E, b"UI", b"7.7.100") + ref_inst_seq))
     seg_body = e(0x0062, 0x0004, b"US", struct.pack("<H", 1))
-    seg_item = struct.pack("<HHI", 0xFFFE, 0xE000, len(seg_body)) + seg_body
-    seg_seq = e(0x0062, 0x0002, b"SQ", seg_item)
+    seg_seq = e(0x0062, 0x0002, b"SQ", item(seg_body))
+    # Decoy: per-frame functional groups carrying SourceImageSequence
+    # references to the same UIDs - outside ReferencedSeriesSequence, so
+    # they must be ignored by the frame map.
+    src_img_seq = e(0x0008, 0x2112, b"SQ",
+                    _seq_items([ref_item(uids[2])]))
+    deriv_seq = e(0x0008, 0x9124, b"SQ", item(src_img_seq))
+    per_frame = e(0x5200, 0x9230, b"SQ",
+                  _seq_items([item(deriv_seq), item(deriv_seq)]))
 
     meta = e(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
     body = b"".join([
@@ -352,6 +367,7 @@ def test_dso_read(tmp_path, rng):
         e(0x0008, 0x0018, b"UI", b"7.8.1"),
         seg_seq,
         ref_seq,
+        per_frame,
         e(0x0028, 0x0008, b"IS", b"2"),
         e(0x0028, 0x0010, b"US", struct.pack("<H", ny)),
         e(0x0028, 0x0011, b"US", struct.pack("<H", nx)),

@@ -29,7 +29,8 @@ init_distributed(coordinator_address=addr, num_processes=n_proc,
                  process_id=pid)
 assert jax.process_count() == n_proc, jax.process_count()
 devices = jax.devices()
-assert len(devices) == n_proc * jax.local_device_count() or True
+assert len(devices) == n_proc * jax.local_device_count(), \
+    (len(devices), jax.local_device_count())
 
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
