@@ -149,7 +149,8 @@ def _descrip_window(level, center_zyx, R, radii, cores, units, sigma, rad):
          wx[:, None, None, :]).reshape(V, DESC_NUM_TOTAL_HIST)
 
     hist = jnp.einsum("vh,vb->hb", S, Gmat,
-                      preferred_element_type=jnp.float32)  # (64, 12)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (64, 12)
     return hist.reshape(DESC_NUMEL)
 
 

@@ -131,17 +131,23 @@ def icos_hist_bin(grad: jax.Array):
     # the lowest face index, like the reference's first-hit scan
     # (icos_hist_bin, sift.c:1646-1683); at such boundaries the barycentric
     # weight of the non-shared vertex is 0, so histograms are continuous.
+    # precision=HIGHEST everywhere: TPU default matmul precision truncates
+    # f32 operands to bf16, which can flip the argmax face (and thus the
+    # histogram bin) - observed as ~1e-2 descriptor drift on real TPU.
     scores = jnp.matmul(grad, jnp.asarray(normals).T,
-                        preferred_element_type=jnp.float32)   # (..., 20)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (..., 20)
     face = jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
     # Per-voxel inverse vertex matrix via one-hot matmul (gather-free).
     oh20 = (face[..., None] ==
             jnp.arange(ICOS_NFACES, dtype=jnp.int32)).astype(jnp.float32)
     B = jnp.matmul(oh20, jnp.asarray(vinv),
-                   preferred_element_type=jnp.float32)        # (..., 9)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)       # (..., 9)
     B = B.reshape(B.shape[:-1] + (3, 3))
-    raw = jnp.einsum("...ij,...j->...i", B, grad)             # V^-1 g
+    raw = jnp.einsum("...ij,...j->...i", B, grad,
+                     precision=jax.lax.Precision.HIGHEST)     # V^-1 g
     s = jnp.sum(raw, axis=-1)
     s_ok = s > 0
     bary = raw / jnp.where(s_ok, s, 1.0)[..., None]
@@ -166,6 +172,7 @@ def vertex_weights(face: jax.Array, bary: jax.Array) -> jax.Array:
     for j in range(3):
         Mj = jnp.asarray(t["onehot"][:, j, :])          # (20, 12) static
         term = bary[..., j:j + 1] * jnp.matmul(
-            oh20, Mj, preferred_element_type=jnp.float32)
+            oh20, Mj, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         out = term if out is None else out + term
     return out

@@ -77,7 +77,8 @@ def _kernel(q_ref, t_ref, qsq_ref, tsq_ref,
         run_idx[:] = jnp.zeros_like(run_idx)
 
     # (Bq, Bt) distance block on the MXU.
-    g = jnp.dot(q_ref[:], t_ref[:].T, preferred_element_type=jnp.float32)
+    g = jnp.dot(q_ref[:], t_ref[:].T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     d = qsq_ref[:] + tsq_ref[:].reshape(1, -1) - 2.0 * g
     d = jnp.maximum(d, 0.0)
     # Invalid rows/cols carry +inf norms; inf - inf would give NaN through

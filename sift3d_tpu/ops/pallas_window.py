@@ -201,7 +201,8 @@ def _descrip_kernel_body(act_ref, info_ref, win_ref, out_ref, plane, *,
                 T = jnp.repeat(ax, 12, axis=0) * jnp.tile(G, (4, 1))
                 return hist + jax.lax.dot_general(
                     W, T, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
             return jax.lax.fori_loop(0, cky, y_body, hist)
 

@@ -68,9 +68,10 @@ def _edge_blocks(src, ref, weights):
     # for 0/1 weights.
     hp_u = homog(src.astype(f64()))
     hq_u = homog(ref.astype(f64()))
-    Gpp = hp.T @ hp_u
-    Gqq = hq.T @ hq_u
-    Gpq = hp.T @ hq_u
+    hi = jax.lax.Precision.HIGHEST      # TPU default truncates f32 to bf16
+    Gpp = jnp.matmul(hp.T, hp_u, precision=hi)
+    Gqq = jnp.matmul(hq.T, hq_u, precision=hi)
+    Gpq = jnp.matmul(hp.T, hq_u, precision=hi)
     return Gpp, Gqq, Gpq
 
 
@@ -158,14 +159,15 @@ def _edge_system_terms(edge_ij, Gpp, Gqq, Gpq, num_volumes: int):
     ar = jnp.arange(1, num_volumes, dtype=edge_ij.dtype)
     ohi = (ar == i).astype(f64())                    # (N-1,)
     ohj = (ar == j).astype(f64())
-    H4 = (jnp.einsum("a,b,pq->abpq", ohi, ohi, Gpp) +
-          jnp.einsum("a,b,pq->abpq", ohj, ohj, Gqq) -
-          jnp.einsum("a,b,pq->abpq", ohi, ohj, Gpq) -
-          jnp.einsum("a,b,pq->abpq", ohj, ohi, Gpq.T))
+    hi = jax.lax.Precision.HIGHEST
+    H4 = (jnp.einsum("a,b,pq->abpq", ohi, ohi, Gpp, precision=hi) +
+          jnp.einsum("a,b,pq->abpq", ohj, ohj, Gqq, precision=hi) -
+          jnp.einsum("a,b,pq->abpq", ohi, ohj, Gpq, precision=hi) -
+          jnp.einsum("a,b,pq->abpq", ohj, ohi, Gpq.T, precision=hi))
     i0 = (i == 0).astype(f64())
     j0 = (j == 0).astype(f64())
-    rhs4 = (jnp.einsum("a,pq->apq", ohj * i0, Gpq.T[:, :3]) +
-            jnp.einsum("a,pq->apq", ohi * j0, Gpq[:, :3]))
+    rhs4 = (jnp.einsum("a,pq->apq", ohj * i0, Gpq.T[:, :3], precision=hi) +
+            jnp.einsum("a,pq->apq", ohi * j0, Gpq[:, :3], precision=hi))
     del n1
     return H4, rhs4
 
@@ -228,9 +230,11 @@ def groupwise_solve_sharded(edges_ij, src_pts, ref_pts, counts,
         # Zero out padded edges' contributions entirely (their blocks are
         # already zero through the inlier weights, but be explicit).
         w = val_l.astype(f64())
-        H4 = jax.lax.psum(jnp.einsum("e,eabpq->abpq", w, H4_e), axis_name)
-        rhs4 = jax.lax.psum(jnp.einsum("e,eapq->apq", w, rhs4_e),
-                            axis_name)
+        hi = jax.lax.Precision.HIGHEST
+        H4 = jax.lax.psum(
+            jnp.einsum("e,eabpq->abpq", w, H4_e, precision=hi), axis_name)
+        rhs4 = jax.lax.psum(
+            jnp.einsum("e,eapq->apq", w, rhs4_e, precision=hi), axis_name)
         A = _solve_reduced(H4, rhs4, num_volumes, ridge)
         inl_g = jax.lax.all_gather(res.num_inliers, axis_name).reshape(-1)
         ok_l = (res.num_inliers >= RANSAC_MIN_INLIERS) | ~val_l

@@ -91,8 +91,9 @@ def fit_affine_ls(src: jax.Array, ref: jax.Array, weights: jax.Array):
     B = _homogeneous(ref.astype(f64()))          # (N, 4)
     w = weights.astype(f64())[:, None]
     Bw = B * w
-    G = B.T @ Bw                                 # (4, 4) normal matrix
-    rhs = Bw.T @ src.astype(f64())               # (4, 3)
+    hi = jax.lax.Precision.HIGHEST               # f64() may be f32 (x64 off);
+    G = jnp.matmul(B.T, Bw, precision=hi)        # TPU default would truncate
+    rhs = jnp.matmul(Bw.T, src.astype(f64()), precision=hi)
     rcond = _rcond_1norm(G)
     ok = rcond > SINGULAR_RCOND ** 2             # G squares the conditioning
     safe = jnp.where(ok, G, jnp.eye(4, dtype=G.dtype))
@@ -104,7 +105,8 @@ def fit_affine_ls(src: jax.Array, ref: jax.Array, weights: jax.Array):
 
 def tform_err_sq(A: jax.Array, src: jax.Array, ref: jax.Array) -> jax.Array:
     """Squared residual per point: |src - A [ref;1]|^2 (imutil.c:4575-4605)."""
-    out = _homogeneous(ref) @ jnp.swapaxes(A, -1, -2)   # (..., N, 3)
+    out = jnp.matmul(_homogeneous(ref), jnp.swapaxes(A, -1, -2),
+                     precision=jax.lax.Precision.HIGHEST)   # (..., N, 3)
     d = src - out
     return jnp.sum(d * d, axis=-1)
 
@@ -152,7 +154,9 @@ def find_tform_ransac(src: jax.Array, ref: jax.Array, count: jax.Array,
 
     valid_pt = jnp.arange(n_cap) < count
     # Batched consensus: (H, N) errors.
-    out = jnp.einsum("hij,nj->hni", A_h[..., :3], ref) + A_h[..., None, :, 3]
+    out = jnp.einsum("hij,nj->hni", A_h[..., :3], ref,
+                     precision=jax.lax.Precision.HIGHEST) \
+        + A_h[..., None, :, 3]
     d = src[None, :, :] - out
     err2 = jnp.sum(d * d, axis=-1)
     thresh2 = jnp.asarray(params.err_thresh, f64()) ** 2

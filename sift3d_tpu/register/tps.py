@@ -48,8 +48,9 @@ def tps_apply(tps: Tps, pts: jax.Array) -> jax.Array:
     n = ctrl.shape[0]
     w = tps.params[:, :n].astype(f64())             # (3, n)
     a = tps.params[:, n:].astype(f64())             # (3, 4)
-    affine = a[:, 0] + pts @ a[:, 1:].T             # (..., 3)
-    return U @ w.T + affine
+    hi = jax.lax.Precision.HIGHEST      # TPU default truncates f32 to bf16
+    affine = a[:, 0] + jnp.matmul(pts, a[:, 1:].T, precision=hi)  # (..., 3)
+    return jnp.matmul(U, w.T, precision=hi) + affine
 
 
 def fit_tps(ctrl: jax.Array, targets: jax.Array,
