@@ -75,6 +75,41 @@ def _edge_blocks(src, ref, weights):
     return Gpp, Gqq, Gpq
 
 
+def _accumulate_system(edges_ij, Gpp, Gqq, Gpq, w, num_volumes: int):
+    """Scatter per-edge Gram blocks into the reduced normal-equation
+    system. Works with *traced* edge indices (required under shard_map,
+    where each shard owns different edges) via ``segment_sum``:
+    O(E + N^2) work/memory, unlike a one-hot einsum's O(E * N^2).
+
+    Args:
+      edges_ij: (E, 2) i32 (traced ok). w: (E,) 0/1 edge weights.
+      Gpp/Gqq/Gpq: (E, 4, 4) per-edge blocks (already inlier-weighted).
+    Returns (H4 (N-1, N-1, 4, 4), rhs4 (N-1, 4, 3)).
+    """
+    n1 = num_volumes - 1
+    i = edges_ij[:, 0].astype(jnp.int32)
+    j = edges_ij[:, 1].astype(jnp.int32)
+    ic = jnp.clip(i - 1, 0, n1 - 1)      # masked rows carry zero data,
+    jc = jnp.clip(j - 1, 0, n1 - 1)      # so the clipped target is inert
+
+    def seg(data, mask, ids, num):
+        d = data * (w * mask.astype(w.dtype))[:, None, None]
+        return jax.ops.segment_sum(d, ids, num_segments=num)
+
+    # Diagonal blocks: H[a, a] += Gpp (a = i-1) and += Gqq (a = j-1).
+    diag = (seg(Gpp, i > 0, ic, n1) + seg(Gqq, j > 0, jc, n1))
+    # Cross blocks: H[i-1, j-1] -= Gpq and H[j-1, i-1] -= Gpq^T.
+    cross = seg(-Gpq, (i > 0) & (j > 0), ic * n1 + jc,
+                n1 * n1).reshape(n1, n1, 4, 4)
+    H4 = cross + cross.transpose(1, 0, 3, 2)
+    H4 = H4.at[jnp.arange(n1), jnp.arange(n1)].add(diag)
+    # Gauge terms: edges touching volume 0 (A_0 = I) move to the RHS.
+    GpqT = jnp.swapaxes(Gpq, -1, -2)
+    rhs4 = (seg(GpqT[:, :, :3], (i == 0) & (j > 0), jc, n1) +
+            seg(Gpq[:, :, :3], (j == 0) & (i > 0), ic, n1))
+    return H4, rhs4
+
+
 def groupwise_solve(edges_ij: np.ndarray, src_pts: jax.Array,
                     ref_pts: jax.Array, counts: jax.Array,
                     num_volumes: int,
@@ -83,7 +118,7 @@ def groupwise_solve(edges_ij: np.ndarray, src_pts: jax.Array,
     """Solve for per-volume affines from per-edge padded correspondences.
 
     Args:
-      edges_ij: (E, 2) int static host array - volume indices per edge.
+      edges_ij: (E, 2) int volume indices per edge (host or device).
       src_pts, ref_pts: (E, M, 3) padded matched points in mm; row k of
         edge e pairs src_pts[e, k] (in volume edges_ij[e, 0]) with
         ref_pts[e, k] (in volume edges_ij[e, 1]).
@@ -92,8 +127,10 @@ def groupwise_solve(edges_ij: np.ndarray, src_pts: jax.Array,
 
     Returns GroupwiseResult with A[0] = I.
     """
+    if isinstance(edges_ij, np.ndarray) and \
+            (edges_ij[:, 0] == edges_ij[:, 1]).any():
+        raise ValueError("self-edge in edges_ij")
     E = len(edges_ij)
-    n_unk = 4 * (num_volumes - 1)
 
     # Per-edge RANSAC for inlier masks (batched over edges).
     res = jax.vmap(lambda s, r, c: find_tform_ransac(s, r, c,
@@ -101,75 +138,20 @@ def groupwise_solve(edges_ij: np.ndarray, src_pts: jax.Array,
         src_pts, ref_pts, counts)
     inlier = res.inlier_mask.astype(f64())          # (E, M)
 
-    Gpp, Gqq, Gpq = jax.vmap(_edge_blocks)(src_pts, ref_pts, inlier)
-
-    H = jnp.zeros((n_unk, n_unk), f64())
-    rhs = jnp.zeros((n_unk, 3), f64())
-
-    def unk_slice(i):
-        return 4 * (i - 1)
-
-    # Static scatter of edge blocks (edges_ij is a host array, so this
-    # unrolls; E is small compared to the matching work).
-    for e, (i, j) in enumerate(np.asarray(edges_ij)):
-        i, j = int(i), int(j)
-        if i == j:
-            raise ValueError(f"self-edge {i}")
-        if i > 0:
-            oi = unk_slice(i)
-            H = H.at[oi:oi + 4, oi:oi + 4].add(Gpp[e])
-        if j > 0:
-            oj = unk_slice(j)
-            H = H.at[oj:oj + 4, oj:oj + 4].add(Gqq[e])
-        if i > 0 and j > 0:
-            oi, oj = unk_slice(i), unk_slice(j)
-            H = H.at[oi:oi + 4, oj:oj + 4].add(-Gpq[e])
-            H = H.at[oj:oj + 4, oi:oi + 4].add(-Gpq[e].T)
-        # Gauge terms: A_0 = I contributes to the RHS.
-        if i == 0 and j > 0:
-            # residual: I hp - A_j hq -> normal eq: Gqq A_j^T = Gpq^T I^T
-            oj = unk_slice(j)
-            rhs = rhs.at[oj:oj + 4, :].add(Gpq[e].T[:, :3])
-        if j == 0 and i > 0:
-            oi = unk_slice(i)
-            rhs = rhs.at[oi:oi + 4, :].add(Gpq[e][:, :3])
-
-    H = H + ridge * jnp.eye(n_unk, dtype=f64())
-    X = jnp.linalg.solve(H, rhs)                    # (4(N-1), 3)
-    A = jnp.concatenate([
-        jnp.eye(3, 4, dtype=f64())[None],
-        jnp.swapaxes(X.reshape(num_volumes - 1, 4, 3), -1, -2)])
+    csum, cn = _point_centroid(src_pts, ref_pts, counts)
+    c = csum / jnp.maximum(cn, 1.0)
+    Gpp, Gqq, Gpq = jax.vmap(_edge_blocks)(src_pts.astype(f64()) - c,
+                                           ref_pts.astype(f64()) - c,
+                                           inlier)
+    H4, rhs4 = _accumulate_system(jnp.asarray(np.asarray(edges_ij)),
+                                  Gpp, Gqq, Gpq,
+                                  jnp.ones(E, f64()), num_volumes)
+    A = _uncenter(_solve_reduced(H4, rhs4, num_volumes, ridge), c)
 
     edge_ok = res.num_inliers >= RANSAC_MIN_INLIERS
     ok = jnp.all(edge_ok) & jnp.all(jnp.isfinite(A))
     return GroupwiseResult(A=A, edge_inliers=res.num_inliers,
                            edge_ok=edge_ok, ok=ok)
-
-
-def _edge_system_terms(edge_ij, Gpp, Gqq, Gpq, num_volumes: int):
-    """One edge's contribution to the reduced system, gather-free.
-
-    Returns (H4 (N-1, N-1, 4, 4), rhs4 (N-1, 4, 3)) built from one-hot
-    volume selectors so the assembly works with *traced* edge indices
-    (required under shard_map, where each shard owns different edges).
-    """
-    i = edge_ij[0]
-    j = edge_ij[1]
-    n1 = num_volumes - 1
-    ar = jnp.arange(1, num_volumes, dtype=edge_ij.dtype)
-    ohi = (ar == i).astype(f64())                    # (N-1,)
-    ohj = (ar == j).astype(f64())
-    hi = jax.lax.Precision.HIGHEST
-    H4 = (jnp.einsum("a,b,pq->abpq", ohi, ohi, Gpp, precision=hi) +
-          jnp.einsum("a,b,pq->abpq", ohj, ohj, Gqq, precision=hi) -
-          jnp.einsum("a,b,pq->abpq", ohi, ohj, Gpq, precision=hi) -
-          jnp.einsum("a,b,pq->abpq", ohj, ohi, Gpq.T, precision=hi))
-    i0 = (i == 0).astype(f64())
-    j0 = (j == 0).astype(f64())
-    rhs4 = (jnp.einsum("a,pq->apq", ohj * i0, Gpq.T[:, :3], precision=hi) +
-            jnp.einsum("a,pq->apq", ohi * j0, Gpq[:, :3], precision=hi))
-    del n1
-    return H4, rhs4
 
 
 def _solve_reduced(H4, rhs4, num_volumes: int, ridge: float):
@@ -181,6 +163,25 @@ def _solve_reduced(H4, rhs4, num_volumes: int, ridge: float):
     return jnp.concatenate([
         jnp.eye(3, 4, dtype=f64())[None],
         jnp.swapaxes(X.reshape(num_volumes - 1, 4, 3), -1, -2)])
+
+
+def _point_centroid(src_pts, ref_pts, counts):
+    """Mean of all valid src+ref points: the centering offset for the
+    normal equations (Hartley-style conditioning - raw mm coordinates
+    ~O(100) square to an H with condition number ~1e6, which loses ~3
+    digits of the f32 solve; centering makes the translation block
+    near-orthogonal to the linear block). Returns (sum (3,), n ())."""
+    valid = (jnp.arange(src_pts.shape[1]) < counts[:, None]).astype(f64())
+    s = jnp.einsum("em,emk->k", valid, src_pts.astype(f64()) +
+                   ref_pts.astype(f64()))
+    return s, 2.0 * jnp.sum(valid)
+
+
+def _uncenter(A, c):
+    """Map the centered-frame solution back: y = L x + (t' + c - L c)."""
+    L = A[:, :, :3]
+    t = A[:, :, 3] + c[None, :] - jnp.einsum("nij,j->ni", L, c)
+    return jnp.concatenate([L, t[:, :, None]], axis=-1)
 
 
 def groupwise_solve_sharded(edges_ij, src_pts, ref_pts, counts,
@@ -222,20 +223,22 @@ def groupwise_solve_sharded(edges_ij, src_pts, ref_pts, counts,
             s, r, c, ransac_params))(src_l, ref_l, cnt_l)
         inlier = res.inlier_mask.astype(f64()) * \
             val_l.astype(f64())[:, None]
-        Gpp, Gqq, Gpq = jax.vmap(_edge_blocks)(src_l, ref_l, inlier)
-        H4_e, rhs4_e = jax.vmap(
-            lambda e, a, b, c: _edge_system_terms(e, a, b, c,
-                                                  num_volumes))(
-            edges_l, Gpp, Gqq, Gpq)
-        # Zero out padded edges' contributions entirely (their blocks are
-        # already zero through the inlier weights, but be explicit).
-        w = val_l.astype(f64())
-        hi = jax.lax.Precision.HIGHEST
-        H4 = jax.lax.psum(
-            jnp.einsum("e,eabpq->abpq", w, H4_e, precision=hi), axis_name)
-        rhs4 = jax.lax.psum(
-            jnp.einsum("e,eapq->apq", w, rhs4_e, precision=hi), axis_name)
-        A = _solve_reduced(H4, rhs4, num_volumes, ridge)
+        # Centering offset from a psum over all shards' valid points
+        # (padded edges carry count 0, so they drop out).
+        csum_l, cn_l = _point_centroid(src_l, ref_l,
+                                       cnt_l * val_l.astype(cnt_l.dtype))
+        c = jax.lax.psum(csum_l, axis_name) / \
+            jnp.maximum(jax.lax.psum(cn_l, axis_name), 1.0)
+        Gpp, Gqq, Gpq = jax.vmap(_edge_blocks)(src_l.astype(f64()) - c,
+                                               ref_l.astype(f64()) - c,
+                                               inlier)
+        # Padded edges' contributions are zeroed both through the inlier
+        # weights and explicitly via the edge weight vector.
+        H4_l, rhs4_l = _accumulate_system(edges_l, Gpp, Gqq, Gpq,
+                                          val_l.astype(f64()), num_volumes)
+        H4 = jax.lax.psum(H4_l, axis_name)
+        rhs4 = jax.lax.psum(rhs4_l, axis_name)
+        A = _uncenter(_solve_reduced(H4, rhs4, num_volumes, ridge), c)
         inl_g = jax.lax.all_gather(res.num_inliers, axis_name).reshape(-1)
         ok_l = (res.num_inliers >= RANSAC_MIN_INLIERS) | ~val_l
         ok_g = jax.lax.all_gather(ok_l, axis_name).reshape(-1)

@@ -73,6 +73,62 @@ def load_keypoints(path: str, capacity: int | None = None) -> Keypoints:
         count=jnp.int32(min(n, cap)))
 
 
+class GroupwiseCheckpoint:
+    """Per-edge matched-correspondence store for resumable groupwise
+    registration fleets.
+
+    The matching phase (the expensive part: detect + extract + NN match
+    per edge) checkpoints each edge's matched point pairs; a re-launched
+    job skips finished edges (``has``) and the solve phase gathers every
+    edge back into the padded arrays ``groupwise_solve[_sharded]``
+    expects. Writes are atomic (tmp + rename), so a preemption mid-write
+    never corrupts the store (SURVEY §5.3-5.4: recovery = re-run the
+    missing shard).
+    """
+
+    def __init__(self, directory: str):
+        self.dir = pathlib.Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, i: int, j: int) -> pathlib.Path:
+        return self.dir / f"edge_{int(i)}_{int(j)}.npz"
+
+    def has(self, i: int, j: int) -> bool:
+        return self._path(i, j).exists()
+
+    def put(self, i: int, j: int, src_pts, ref_pts, count: int) -> None:
+        n = int(count)
+        p = self._path(i, j)
+        tmp = p.with_suffix(".tmp.npz")
+        np.savez_compressed(tmp, src=np.asarray(src_pts)[:n],
+                            ref=np.asarray(ref_pts)[:n])
+        os.replace(tmp, p)
+
+    def get(self, i: int, j: int):
+        z = np.load(self._path(i, j))
+        return z["src"], z["ref"]
+
+    def edges(self) -> list[tuple[int, int]]:
+        out = []
+        for p in sorted(self.dir.glob("edge_*.npz")):
+            _, i, j = p.stem.split("_")
+            out.append((int(i), int(j)))
+        return out
+
+    def gather(self, edges_ij, capacity: int | None = None):
+        """Load ``edges_ij`` into padded (E, M, 3) arrays + (E,) counts."""
+        pts = [self.get(i, j) for i, j in edges_ij]
+        cap = capacity or max((len(s) for s, _ in pts), default=1)
+        E = len(pts)
+        src = np.zeros((E, cap, 3))
+        ref = np.zeros((E, cap, 3))
+        cnt = np.zeros(E, np.int32)
+        for e, (s, r) in enumerate(pts):
+            n = min(len(s), cap)
+            src[e, :n], ref[e, :n], cnt[e] = s[:n], r[:n], n
+        return src, ref, cnt
+
+
 class RegistrationCheckpoint:
     """Per-pair transform store with atomic JSON records.
 
