@@ -66,6 +66,8 @@ def _get_lib():
     lib.s3d_dcm_write.restype = c.c_int
     lib.s3d_dcm_write.argtypes = [c.c_char_p, f32p] + [c.c_int] * 3 + \
         [c.c_double] * 3 + [c.c_char_p, c.c_int]
+    lib.s3d_dcm_write_jpegls.restype = c.c_int
+    lib.s3d_dcm_write_jpegls.argtypes = lib.s3d_dcm_write.argtypes
     lib.s3d_dcm_write_dir.restype = c.c_int
     lib.s3d_dcm_write_dir.argtypes = [c.c_char_p, f32p] + [c.c_int] * 3 + \
         [c.c_double] * 3
@@ -151,15 +153,20 @@ def _prep_write(vol: Volume):
 
 
 def write_dcm(path: str, vol: Volume, series_uid: str = "",
-              instance_num: int = 1) -> None:
+              instance_num: int = 1, lossless_jpeg: bool = False) -> None:
     """Write one multi-frame 8-bit DICOM file (write_dcm,
     dicom.cpp:1421-1446). Pixels are scaled by 255/max and truncated, like
-    the reference (the source of its 1e-2 round-trip tolerance)."""
+    the reference (the source of its 1e-2 round-trip tolerance).
+
+    ``lossless_jpeg`` encapsulates the frames as JPEG Lossless Process 14
+    SV1 streams - the transfer syntax the reference emits through DCMTK
+    (reference dicom.cpp:1748). Pixel values are identical either way
+    (the codec is lossless); only the on-disk encoding changes."""
     lib = _get_lib()
     data, nx, ny, nz, ux, uy, uz = _prep_write(vol)
-    _check(lib, lib.s3d_dcm_write(path.encode(), data, nx, ny, nz,
-                                  ux, uy, uz, series_uid.encode(),
-                                  instance_num))
+    fn = lib.s3d_dcm_write_jpegls if lossless_jpeg else lib.s3d_dcm_write
+    _check(lib, fn(path.encode(), data, nx, ny, nz, ux, uy, uz,
+                   series_uid.encode(), instance_num))
 
 
 def write_dcm_dir(path: str, vol: Volume) -> None:

@@ -55,6 +55,12 @@ enum {
 
 const char *UID_ImplicitLE = "1.2.840.10008.1.2";
 const char *UID_ExplicitLE = "1.2.840.10008.1.2.1";
+// JPEG Lossless, Non-Hierarchical (Process 14) and its First-Order
+// Prediction SV1 restriction - the syntax the reference itself writes
+// through DCMTK (reference dicom.cpp:1748) and registers decoders for
+// (dicom.cpp:69-73), so reference-produced directories need it.
+const char *UID_JPEGLossless14 = "1.2.840.10008.1.2.4.57";
+const char *UID_JPEGLosslessSV1 = "1.2.840.10008.1.2.4.70";
 const char *UID_CTImageStorage = "1.2.840.10008.5.1.4.1.1.2";
 const char *UID_DSO = "1.2.840.10008.5.1.4.1.1.66.4";
 const char *UID_PET = "1.2.840.10008.5.1.4.1.1.128";
@@ -201,6 +207,11 @@ struct DcmFile {
     int rows = 0, cols = 0, frames = 1, nc = 1;
     int bits_alloc = 8, pixel_rep = 0;
     std::vector<uint8_t> pixel_data;
+    // Encapsulated (compressed) pixel data: raw fragments + the Basic
+    // Offset Table, decoded into pixel_data after the dataset walk.
+    bool encapsulated = false;
+    std::vector<std::vector<uint8_t>> fragments;
+    std::vector<uint32_t> bot;
     // PET SUV inputs (dicom.cpp:646-740)
     double weight = -1, dose = -1, half_life = -1;
     double radio_start_time = -1, acq_time = -1;
@@ -239,6 +250,397 @@ bool parse_multi_double(const std::string &s, double *out, int n) {
         pos = next + 1;
     }
     return true;
+}
+
+// ---------------------------------------------------- JPEG lossless codec
+//
+// Minimal ITU T.81 lossless (SOF3) codec: single-component scans,
+// predictors 1-7, point transform, restart intervals, 2-16 bit
+// precision. Covers what DICOM's Process 14 / 14-SV1 transfer syntaxes
+// need (PS3.5 A.4.4); the reference gets this from DCMTK's djcodecd.
+
+struct HuffTable {
+    // Canonical table per T.81 Annex C/F: mincode/maxcode/valptr by
+    // code length, values indexed by decode order.
+    int32_t mincode[17] = {0}, maxcode[17] = {0};
+    int valptr[17] = {0};
+    std::vector<uint8_t> values;
+    bool present = false;
+
+    void build(const uint8_t counts[16], const uint8_t *vals, int nvals) {
+        values.assign(vals, vals + nvals);
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; l++) {
+            valptr[l] = k;
+            mincode[l] = code;
+            code += counts[l - 1];
+            k += counts[l - 1];
+            maxcode[l] = code - 1;
+            if (!counts[l - 1]) maxcode[l] = -1;
+            code <<= 1;
+        }
+        present = true;
+    }
+};
+
+struct BitReader {
+    const uint8_t *p, *end;
+    uint32_t acc = 0;
+    int nbits = 0;
+    bool bad = false;
+    int marker = 0;      // pending marker (e.g. RSTn) hit during refill
+
+    BitReader(const uint8_t *b, const uint8_t *e) : p(b), end(e) {}
+
+    void refill() {
+        while (nbits <= 24) {
+            if (p >= end) { bad = true; return; }
+            uint8_t b = *p;
+            if (b == 0xFF) {
+                if (p + 1 >= end) { bad = true; return; }
+                uint8_t b2 = p[1];
+                if (b2 == 0x00) {            // stuffed FF
+                    p += 2;
+                } else {                      // real marker: stop here
+                    marker = 0xFF00 | b2;
+                    return;
+                }
+            } else {
+                p += 1;
+            }
+            acc = (acc << 8) | b;
+            nbits += 8;
+        }
+    }
+
+    int bits(int n) {                         // n <= 16
+        if (n == 0) return 0;
+        if (nbits < n) refill();
+        if (nbits < n) { bad = true; return 0; }
+        int v = (int)((acc >> (nbits - n)) & ((1u << n) - 1));
+        nbits -= n;
+        return v;
+    }
+
+    int decode(const HuffTable &t) {          // one Huffman symbol
+        int code = bits(1), l = 1;
+        while (l <= 16) {
+            if (t.maxcode[l] >= 0 && code <= t.maxcode[l])
+                return t.values[t.valptr[l] + code - t.mincode[l]];
+            code = (code << 1) | bits(1);
+            l++;
+            if (bad) break;
+        }
+        bad = true;
+        return 0;
+    }
+
+    void align_and_skip_rst() {               // consume a restart marker
+        nbits = 0;                            // discard partial byte
+        acc = 0;
+        if (!marker) refill();
+        if (marker >= 0xFFD0 && marker <= 0xFFD7) {
+            p += 2;                           // marker bytes not yet eaten
+            marker = 0;
+        }
+    }
+};
+
+// Diff decode: category SSSS then SSSS additional bits (T.81 F.2.2.1
+// extend); category 16 means +32768 with no extra bits (lossless only).
+inline int32_t jls_extend(int v, int ssss) {
+    if (ssss == 0) return 0;
+    if (ssss >= 16) return 32768;
+    if (v < (1 << (ssss - 1))) v += -(1 << ssss) + 1;
+    return v;
+}
+
+// Decode one SOF3 stream into samples[w*h]. Returns false + set_err on
+// malformed / unsupported input. `precision` returns SOF3 P.
+bool jls_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
+                std::vector<uint16_t> &samples, int *precision,
+                const char *path) {
+    const uint8_t *p = buf, *end = buf + len;
+    auto u16be = [&](const uint8_t *q) {
+        return (int)((q[0] << 8) | q[1]);
+    };
+    if (len < 4 || p[0] != 0xFF || p[1] != 0xD8) {
+        set_err("%s: fragment is not a JPEG stream", path);
+        return false;
+    }
+    p += 2;
+    HuffTable tables[4];
+    int P = 0, w = 0, h = 0, ri = 0;
+    int pred_sel = 1, pt = 0, tbl_id = 0;
+    const uint8_t *scan = nullptr;
+
+    while (p + 4 <= end) {
+        if (p[0] != 0xFF) { p++; continue; }
+        int m = p[1];
+        if (m == 0xFF) { p++; continue; }
+        p += 2;
+        if (m == 0xD9) break;                 // EOI before SOS: malformed
+        int seglen = u16be(p);
+        if (p + seglen > end || seglen < 2) {
+            set_err("%s: truncated JPEG segment", path);
+            return false;
+        }
+        const uint8_t *q = p + 2, *qend = p + seglen;
+        if (m == 0xC3) {                      // SOF3: lossless sequential
+            P = q[0];
+            h = u16be(q + 1);
+            w = u16be(q + 3);
+            int nf = q[5];
+            if (nf != 1) {
+                set_err("%s: only single-component lossless JPEG is "
+                        "supported", path);
+                return false;
+            }
+        } else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
+                   m != 0xCC) {
+            set_err("%s: JPEG SOF%s is not lossless (only SOF3)", path,
+                    std::to_string(m - 0xC0).c_str());
+            return false;
+        } else if (m == 0xC4) {               // DHT
+            while (q + 17 <= qend) {
+                int tc = q[0] >> 4, th = q[0] & 15;
+                const uint8_t *counts = q + 1;
+                int nv = 0;
+                for (int i = 0; i < 16; i++) nv += counts[i];
+                if (q + 17 + nv > qend) break;
+                if (tc == 0 && th < 4)
+                    tables[th].build(counts, q + 17, nv);
+                q += 17 + nv;
+            }
+        } else if (m == 0xDD) {               // DRI
+            ri = u16be(q);
+        } else if (m == 0xDA) {               // SOS
+            int ns = q[0];
+            if (ns != 1) {
+                set_err("%s: multi-component JPEG scan unsupported", path);
+                return false;
+            }
+            tbl_id = q[2] >> 4;
+            pred_sel = q[1 + 2 * ns];         // Ss = predictor selection
+            pt = q[3 + 2 * ns] & 15;          // Al = point transform
+            scan = qend;
+            break;
+        }
+        p = qend;
+    }
+    if (!scan || !P || w <= 0 || h <= 0) {
+        set_err("%s: JPEG stream missing SOF3/SOS", path);
+        return false;
+    }
+    if (w != want_w || h != want_h) {
+        set_err("%s: JPEG frame size disagrees with Rows/Columns", path);
+        return false;
+    }
+    if (!tables[tbl_id].present) {
+        set_err("%s: JPEG scan references an undefined Huffman table",
+                path);
+        return false;
+    }
+    if (pred_sel < 1 || pred_sel > 7) {
+        set_err("%s: invalid lossless JPEG predictor", path);
+        return false;
+    }
+    *precision = P;
+
+    samples.assign((size_t)w * h, 0);
+    BitReader br(scan, end);
+    const HuffTable &T = tables[tbl_id];
+    const int32_t dflt = 1 << (P - pt - 1);
+    int until_rst = ri;
+    bool fresh = true;                        // start / just-restarted
+
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            if (ri && !until_rst) {
+                br.align_and_skip_rst();
+                until_rst = ri;
+                fresh = true;
+            }
+            int ssss = br.decode(T);
+            if (ssss > 16) {
+                set_err("%s: invalid JPEG difference category", path);
+                return false;
+            }
+            int32_t diff = jls_extend(br.bits(ssss >= 16 ? 0 : ssss),
+                                      ssss);
+            if (br.bad) {
+                set_err("%s: truncated JPEG entropy data", path);
+                return false;
+            }
+            int32_t Ra = x > 0 ? samples[(size_t)y * w + x - 1] : 0;
+            int32_t Rb = y > 0 ? samples[(size_t)(y - 1) * w + x] : 0;
+            int32_t Rc = (x > 0 && y > 0)
+                ? samples[(size_t)(y - 1) * w + x - 1] : 0;
+            int32_t px;
+            if (fresh) px = dflt;             // first sample after reset
+            else if (y == 0) px = Ra;         // first line: left
+            else if (x == 0) px = Rb;         // first column: above
+            else switch (pred_sel) {          // T.81 table H.1
+                case 1: px = Ra; break;
+                case 2: px = Rb; break;
+                case 3: px = Rc; break;
+                case 4: px = Ra + Rb - Rc; break;
+                case 5: px = Ra + ((Rb - Rc) >> 1); break;
+                case 6: px = Rb + ((Ra - Rc) >> 1); break;
+                default: px = (Ra + Rb) >> 1; break;
+            }
+            // Stay in the coded (point-transformed) domain - the
+            // prediction neighbors above are coded-domain values too.
+            samples[(size_t)y * w + x] = (uint16_t)((px + diff) & 0xFFFF);
+            fresh = false;
+            if (ri) until_rst--;
+        }
+    }
+    if (pt)                                   // shift back up at output
+        for (auto &s : samples) s = (uint16_t)(s << pt);
+    return true;
+}
+
+// Encode samples[w*h] (precision P bits) as an SV1 (predictor 1,
+// Pt 0) lossless JPEG stream - the syntax the reference writes
+// (dicom.cpp:1748). Huffman table is built fixed: length-(k+1) codes
+// for categories k = 0..16 are one valid canonical assignment.
+std::vector<uint8_t> jls_encode(const uint16_t *samples, int w, int h,
+                                int P) {
+    std::vector<uint8_t> out;
+    auto b8 = [&](int v) { out.push_back((uint8_t)v); };
+    auto b16 = [&](int v) { b8(v >> 8); b8(v & 0xFF); };
+    b16(0xFFD8);                              // SOI
+    // DHT: counts[l] = 1 for l = 1..16, one value per length; value k
+    // (category) gets the length-(k+1) code, except category 16 shares
+    // length 16. Simpler: categories 0..15 at lengths 1..16; category
+    // 16 cannot fit - use counts {0,1,...}: put two values at length 16.
+    uint8_t counts[16] = {0};
+    uint8_t vals[17];
+    for (int k = 0; k < 15; k++) { counts[k] = 1; vals[k] = (uint8_t)k; }
+    counts[15] = 2;                           // lengths: 1..15 + two 16s
+    vals[15] = 15; vals[16] = 16;
+    b16(0xFFC4); b16(2 + 1 + 16 + 17); b8(0x00);
+    for (int i = 0; i < 16; i++) b8(counts[i]);
+    for (int i = 0; i < 17; i++) b8(vals[i]);
+    // SOF3
+    b16(0xFFC3); b16(11); b8(P); b16(h); b16(w); b8(1);
+    b8(1); b8(0x11); b8(0);                   // comp 1, 1x1 sampling, Tq 0
+    // SOS: Ss = 1 (SV1 predictor), Se = 0, Ah:Al = 0:0
+    b16(0xFFDA); b16(8); b8(1); b8(1); b8(0x00); b8(1); b8(0); b8(0);
+
+    // Canonical codes for the table above: category k < 15 -> code of
+    // length k+1 = (2^(k+1) - 2); categories 15, 16 -> length-16 codes.
+    auto codeof = [&](int k, uint32_t &code, int &len) {
+        if (k < 15) { len = k + 1; code = (1u << len) - 2; }
+        else { len = 16; code = 0xFFFE + (k - 15); }
+    };
+    uint32_t acc = 0;
+    int nacc = 0;
+    auto put = [&](uint32_t code, int len) {
+        acc = (acc << len) | code;
+        nacc += len;
+        while (nacc >= 8) {
+            uint8_t byte = (uint8_t)(acc >> (nacc - 8));
+            out.push_back(byte);
+            if (byte == 0xFF) out.push_back(0x00);   // byte stuffing
+            nacc -= 8;
+        }
+        acc &= (1u << nacc) - 1;
+    };
+    const int32_t dflt = 1 << (P - 1);
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+            int32_t px;
+            if (x == 0 && y == 0) px = dflt;
+            else if (y == 0) px = samples[x - 1];
+            else if (x == 0) px = samples[(size_t)(y - 1) * w];
+            else px = samples[(size_t)y * w + x - 1];          // SV1: Ra
+            int32_t diff = (int32_t)((samples[(size_t)y * w + x] - px)
+                                     & 0xFFFF);
+            if (diff > 32767) diff -= 65536;
+            int ssss;
+            uint32_t extra = 0;
+            if (diff == 32768 || diff == -32768) ssss = 16;
+            else {
+                uint32_t mag = (uint32_t)(diff < 0 ? -diff : diff);
+                ssss = 0;
+                while (mag >> ssss) ssss++;
+                extra = diff >= 0 ? (uint32_t)diff
+                                  : (uint32_t)(diff - 1) & ((1u << ssss) - 1);
+            }
+            uint32_t code; int len;
+            codeof(ssss, code, len);
+            put(code, len);
+            if (ssss && ssss < 16) put(extra, ssss);
+        }
+    if (nacc) put((1u << (8 - nacc)) - 1, 8 - nacc);   // pad with 1s
+    b16(0xFFD9);                              // EOI
+    return out;
+}
+
+// Decode every encapsulated frame into f.pixel_data (native LE layout
+// that copy_pixels consumes).
+int decode_encapsulated(DcmFile &f, const char *path) {
+    const int nf = std::max(1, f.frames);
+    const size_t frag_n = f.fragments.size();
+    if (!frag_n) {
+        set_err("%s: encapsulated pixel data has no fragments", path);
+        return S3D_FAILURE;
+    }
+    // Group fragments by frame: single frame takes all fragments;
+    // otherwise 1:1 when counts match, else split by the Basic Offset
+    // Table (offsets of each frame's first fragment item header).
+    std::vector<std::pair<size_t, size_t>> groups;   // [first, last)
+    if (nf == 1) {
+        groups.push_back({0, frag_n});
+    } else if ((size_t)nf == frag_n) {
+        for (size_t i = 0; i < frag_n; i++) groups.push_back({i, i + 1});
+    } else if (f.bot.size() == (size_t)nf) {
+        std::vector<uint32_t> starts(frag_n);
+        uint32_t off = 0;
+        for (size_t i = 0; i < frag_n; i++) {
+            starts[i] = off;
+            off += 8 + (uint32_t)f.fragments[i].size();
+        }
+        size_t k = 0;
+        for (int fr = 0; fr < nf; fr++) {
+            size_t first = k;
+            while (k < frag_n && starts[k] < f.bot[fr]) k++;
+            first = k;
+            uint32_t next = fr + 1 < nf ? f.bot[fr + 1] : 0xFFFFFFFFu;
+            size_t last = first;
+            while (last < frag_n && starts[last] < next) last++;
+            groups.push_back({first, last});
+            k = last;
+        }
+    } else {
+        set_err("%s: cannot map %s fragments to frames", path,
+                std::to_string(frag_n).c_str());
+        return S3D_FAILURE;
+    }
+
+    const int bytes_per = f.bits_alloc > 8 ? 2 : 1;
+    const size_t frame_px = (size_t)f.rows * f.cols;
+    f.pixel_data.assign(frame_px * nf * bytes_per, 0);
+    for (int fr = 0; fr < nf; fr++) {
+        std::vector<uint8_t> stream;
+        for (size_t i = groups[fr].first; i < groups[fr].second; i++)
+            stream.insert(stream.end(), f.fragments[i].begin(),
+                          f.fragments[i].end());
+        std::vector<uint16_t> samples;
+        int P = 0;
+        if (!jls_decode(stream.data(), stream.size(), f.cols, f.rows,
+                        samples, &P, path))
+            return S3D_UNSUPPORTED_FILE_TYPE;
+        uint8_t *dst = f.pixel_data.data() + frame_px * bytes_per * fr;
+        for (size_t i = 0; i < frame_px; i++) {
+            if (bytes_per == 1) dst[i] = (uint8_t)samples[i];
+            else memcpy(dst + 2 * i, &samples[i], 2);
+        }
+    }
+    f.fragments.clear();
+    return S3D_SUCCESS;
 }
 
 int parse_file(const char *path, DcmFile &f, bool want_pixels) {
@@ -282,9 +684,13 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
     } else if (f.transfer_syntax == UID_ExplicitLE ||
                f.transfer_syntax.empty()) {
         ps.explicit_vr = true;
+    } else if (f.transfer_syntax == UID_JPEGLosslessSV1 ||
+               f.transfer_syntax == UID_JPEGLossless14) {
+        ps.explicit_vr = true;
+        f.encapsulated = true;
     } else {
-        set_err("%s: unsupported transfer syntax %s (only uncompressed "
-                "little-endian is supported)", path,
+        set_err("%s: unsupported transfer syntax %s (uncompressed "
+                "little-endian and lossless JPEG are supported)", path,
                 f.transfer_syntax.c_str());
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
@@ -363,6 +769,31 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
             if (t.group == 0xFFFE &&
                 (t.elem == 0xE00D || t.elem == 0xE0DD))
                 return true;                      // end of this scope
+            if (t == kPixelData && len == 0xFFFFFFFFu) {
+                // Encapsulated pixel data (PS3.5 A.4): first item is the
+                // Basic Offset Table, the rest are codec fragments.
+                bool first = true;
+                for (;;) {
+                    Tag it; std::string ivr; uint32_t ilen;
+                    if (!pr.header(it, ivr, ilen)) return false;
+                    if (it.group == 0xFFFE && it.elem == 0xE0DD) break;
+                    if (!(it.group == 0xFFFE && it.elem == 0xE000) ||
+                        ilen == 0xFFFFFFFFu || !pr.avail(ilen))
+                        return false;
+                    if (first) {
+                        for (uint32_t o = 0; o + 4 <= ilen; o += 4) {
+                            uint32_t v;
+                            memcpy(&v, pr.p + o, 4);
+                            f.bot.push_back(v);
+                        }
+                        first = false;
+                    } else if (want_pixels) {
+                        f.fragments.emplace_back(pr.p, pr.p + ilen);
+                    }
+                    pr.p += ilen;
+                }
+                continue;
+            }
             // Implicit VR gives no "SQ" marker for defined-length
             // sequences; detect them by peeking for an item header
             // (FFFE,E000) at the value start, so tags nested inside
@@ -437,6 +868,10 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
     if (f.rows <= 0 || f.cols <= 0) {
         set_err("%s: missing Rows/Columns", path);
         return S3D_FAILURE;
+    }
+    if (f.encapsulated && want_pixels) {
+        int rc = decode_encapsulated(f, path);
+        if (rc != S3D_SUCCESS) return rc;
     }
     return S3D_SUCCESS;
 }
@@ -619,6 +1054,29 @@ struct Writer {
         element(t, vr, s.data(), s.size());
     }
     void us(Tag t, uint16_t v) { element(t, "US", &v, 2); }
+
+    // Encapsulated PixelData (PS3.5 A.4): undefined-length OB, a Basic
+    // Offset Table item with per-frame byte offsets, one even-padded
+    // fragment per frame, then the sequence delimiter.
+    void encapsulated_pixels(const std::vector<std::vector<uint8_t>> &fr) {
+        w16(kPixelData.group); w16(kPixelData.elem);
+        raw("OB", 2); w16(0); w32(0xFFFFFFFFu);
+        std::vector<uint32_t> offs;
+        uint32_t off = 0;
+        for (const auto &f : fr) {
+            offs.push_back(off);
+            off += 8 + (uint32_t)((f.size() + 1) & ~(size_t)1);
+        }
+        w16(0xFFFE); w16(0xE000); w32(4 * (uint32_t)offs.size());
+        for (uint32_t o : offs) w32(o);
+        for (const auto &f : fr) {
+            w16(0xFFFE); w16(0xE000);
+            w32((uint32_t)((f.size() + 1) & ~(size_t)1));
+            raw(f.data(), f.size());
+            if (f.size() % 2) { uint8_t z = 0; raw(&z, 1); }
+        }
+        w16(0xFFFE); w16(0xE0DD); w32(0);
+    }
 };
 
 std::string gen_uid() {
@@ -631,7 +1089,8 @@ std::string gen_uid() {
 int write_single(const char *path, const float *data, int nx, int ny,
                  int nz, double ux, double uy, double uz,
                  unsigned instance_num, const char *series_uid,
-                 const char *instance_uid, float max_val) {
+                 const char *instance_uid, float max_val,
+                 bool jpeg = false) {
     char buf[256];
 
     // Pixel payload: scale to 8 bits by 255/max (write_dcm_cpp,
@@ -664,7 +1123,8 @@ int write_single(const char *path, const float *data, int nx, int ny,
     meta.element({0x0002, 0x0001}, "OB", ver, 2);
     meta.str({0x0002, 0x0002}, "UI", UID_CTImageStorage);
     meta.str({0x0002, 0x0003}, "UI", inst_uid);
-    meta.str({0x0002, 0x0010}, "UI", UID_ExplicitLE);
+    meta.str({0x0002, 0x0010}, "UI",
+             jpeg ? UID_JPEGLosslessSV1 : UID_ExplicitLE);
     meta.str({0x0002, 0x0012}, "UI", UID_ROOT + std::string("1"));
 
     Writer w;
@@ -706,7 +1166,20 @@ int write_single(const char *path, const float *data, int nx, int ny,
     w.us({0x0028, 0x0101}, 8);                   // BitsStored
     w.us({0x0028, 0x0102}, 7);                   // HighBit
     w.us(kPixelRep, 0);
-    w.element(kPixelData, "OB", pix.data(), pix.size());
+    if (jpeg) {
+        // One lossless-SV1 stream per frame (what the reference emits
+        // through DCMTK's EJ_JPEGLossless14SV1, dicom.cpp:1748).
+        std::vector<std::vector<uint8_t>> frames;
+        std::vector<uint16_t> s16((size_t)nx * ny);
+        for (int z = 0; z < nz; z++) {
+            const uint8_t *fp8 = pix.data() + (size_t)z * nx * ny;
+            for (size_t i = 0; i < (size_t)nx * ny; i++) s16[i] = fp8[i];
+            frames.push_back(jls_encode(s16.data(), nx, ny, 8));
+        }
+        w.encapsulated_pixels(frames);
+    } else {
+        w.element(kPixelData, "OB", pix.data(), pix.size());
+    }
 
     // Group length for the meta group
     Writer hdr;
@@ -985,6 +1458,15 @@ int s3d_dcm_write(const char *path, const float *data, int nx, int ny,
     return write_single(path, data, nx, ny, nz, ux, uy, uz,
                         instance_num > 0 ? (unsigned)instance_num : 1u,
                         series_uid ? series_uid : "", "", -1.0f);
+}
+
+int s3d_dcm_write_jpegls(const char *path, const float *data, int nx,
+                         int ny, int nz, double ux, double uy, double uz,
+                         const char *series_uid, int instance_num) {
+    g_err[0] = 0;
+    return write_single(path, data, nx, ny, nz, ux, uy, uz,
+                        instance_num > 0 ? (unsigned)instance_num : 1u,
+                        series_uid ? series_uid : "", "", -1.0f, true);
 }
 
 /* Write a directory of single-slice DICOM files (%0Nd.dcm). */

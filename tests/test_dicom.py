@@ -387,3 +387,220 @@ def test_dso_read(tmp_path, rng):
 
 def _seq_items(items):
     return b"".join(items)
+
+
+# --------------------------------------------------- JPEG lossless (SOF3)
+
+def _py_jls_encode(samples, P, predictor=1, pt=0, ri=0):
+    """Independent pure-Python lossless-JPEG (SOF3) encoder for testing
+    the native decoder. Uses the Annex K DC luminance Huffman table
+    (different from the C++ encoder's fixed table, so the decoder's
+    canonical-table machinery is actually exercised). Restart handling
+    follows the codec's convention: RSTn resets the next sample's
+    prediction to the default 2^(P-Pt-1)."""
+    import struct
+    h, w = samples.shape
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    vals = list(range(12))
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out = bytearray()
+    out += b"\xff\xd8"                              # SOI
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+    out += b"\x00" + bytes(bits) + bytes(vals)      # DHT (DC table 0)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, P, h, w, 1)
+    out += b"\x01\x11\x00"                          # SOF3, 1 component
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += b"\x01\x00" + bytes([predictor, 0, pt])  # SOS: Ss, Se, Ah:Al
+
+    acc, nacc = 0, 0
+    body = bytearray()
+
+    def put(code, length):
+        nonlocal acc, nacc
+        acc = (acc << length) | code
+        nacc += length
+        while nacc >= 8:
+            b = (acc >> (nacc - 8)) & 0xFF
+            body.append(b)
+            if b == 0xFF:
+                body.append(0x00)
+            nacc -= 8
+        acc &= (1 << nacc) - 1
+
+    def flush_align():
+        nonlocal acc, nacc
+        if nacc:
+            put((1 << (8 - nacc)) - 1, 8 - nacc)
+
+    dflt = 1 << (P - pt - 1)
+    n_rst = 0
+    since = 0
+    fresh = True
+    s = samples.astype(np.int64) >> pt
+    for y in range(h):
+        for x in range(w):
+            if ri and since == ri:
+                flush_align()
+                body.extend(b"\xff" + bytes([0xD0 + (n_rst & 7)]))
+                n_rst += 1
+                since = 0
+                fresh = True
+            Ra = s[y, x - 1] if x else 0
+            Rb = s[y - 1, x] if y else 0
+            Rc = s[y - 1, x - 1] if x and y else 0
+            if fresh:
+                px = dflt
+            elif y == 0:
+                px = Ra
+            elif x == 0:
+                px = Rb
+            else:
+                px = [None, Ra, Rb, Rc, Ra + Rb - Rc,
+                      Ra + ((Rb - Rc) >> 1), Rb + ((Ra - Rc) >> 1),
+                      (Ra + Rb) >> 1][predictor]
+            diff = int(s[y, x] - px) & 0xFFFF
+            if diff > 32767:
+                diff -= 65536
+            mag = abs(diff)
+            ssss = mag.bit_length()
+            assert ssss < 12, "test data diff too large for Annex K table"
+            put(*codes[ssss])
+            if ssss:
+                extra = diff if diff >= 0 else (diff - 1) & ((1 << ssss) - 1)
+                put(extra, ssss)
+            fresh = False
+            since += 1
+    flush_align()
+    out += body + b"\xff\xd9"                       # EOI
+    return bytes(out)
+
+
+def _write_jls_file(path, streams, ny, nx, bits=16, with_bot=False):
+    """Craft a Part-10 file with encapsulated JPEG-lossless pixel data."""
+    import struct
+    e = _explicit_elem
+    meta = e(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.70")
+    frag = b""
+    offs, off = [], 0
+    for s in streams:
+        if len(s) % 2:
+            s += b"\x00"
+        offs.append(off)
+        off += 8 + len(s)
+        frag += struct.pack("<HHI", 0xFFFE, 0xE000, len(s)) + s
+    bot = struct.pack("<%dI" % len(offs), *offs) if with_bot else b""
+    body = b"".join([
+        e(0x0008, 0x0016, b"UI", b"1.2.840.10008.5.1.4.1.1.2"),
+        e(0x0008, 0x0018, b"UI", b"5.5.5.1"),
+        e(0x0020, 0x000E, b"UI", b"5.5.5"),
+        e(0x0020, 0x0032, b"DS", b"0\\0\\0"),
+        e(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"),
+        e(0x0028, 0x0008, b"IS", str(len(streams)).encode()),
+        e(0x0028, 0x0010, b"US", struct.pack("<H", ny)),
+        e(0x0028, 0x0011, b"US", struct.pack("<H", nx)),
+        e(0x0028, 0x0030, b"DS", b"1\\1"),
+        e(0x0018, 0x0050, b"DS", b"1"),
+        e(0x0028, 0x0100, b"US", struct.pack("<H", bits)),
+        e(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF),
+        struct.pack("<HHI", 0xFFFE, 0xE000, len(bot)), bot, frag,
+        struct.pack("<HHI", 0xFFFE, 0xE0DD, 0),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def test_jpegls_write_read_roundtrip(tmp_path, rng):
+    """Our SV1 writer -> our decoder: pixel-identical to the uncompressed
+    write (the codec is lossless; only the 8-bit write quantization
+    remains, exactly as in the uncompressed path)."""
+    vol = rng.random((5, 9, 11)).astype(np.float32)
+    p_jpg = str(tmp_path / "c.dcm")
+    p_raw = str(tmp_path / "r.dcm")
+    dicom.write_dcm(p_jpg, Volume(vol, (1.5, 2.0, 0.5)),
+                    lossless_jpeg=True)
+    dicom.write_dcm(p_raw, Volume(vol, (1.5, 2.0, 0.5)))
+    back = dicom.read_dcm(p_jpg)
+    raw = dicom.read_dcm(p_raw)
+    assert back.units == (1.5, 2.0, 0.5)
+    np.testing.assert_array_equal(back.data, raw.data)
+    _roundtrip_close(back.data, vol)
+    # The compressed file must actually be encapsulated SV1.
+    assert b"1.2.840.10008.1.2.4.70" in open(p_jpg, "rb").read(400)
+
+
+def test_jpegls_independent_encoder_16bit(tmp_path, rng):
+    """Pure-Python SOF3 encoder (Annex K table, predictor 1) -> native
+    decoder, 16-bit samples."""
+    # Values near the P=16 default prediction (32768) keep diffs inside
+    # the Annex K table's 11-category range.
+    pix = (32000 + rng.integers(0, 900, (7, 13)) +
+           np.arange(13) * 50).astype(np.uint16)
+    stream = _py_jls_encode(pix, P=16, predictor=1)
+    path = str(tmp_path / "p16.dcm")
+    _write_jls_file(path, [stream], *pix.shape)
+    back = dicom.read_dcm(path)
+    np.testing.assert_array_equal(back.data[0], pix.astype(np.float32))
+
+
+@pytest.mark.parametrize("predictor", [2, 3, 4, 5, 6, 7])
+def test_jpegls_predictors(tmp_path, rng, predictor):
+    pix = np.cumsum(rng.integers(-20, 21, (6, 8)), axis=1).astype(np.int64)
+    pix = (2048 + pix - pix.min()).astype(np.uint16)   # near the P=12 default
+    stream = _py_jls_encode(pix, P=12, predictor=predictor)
+    path = str(tmp_path / f"p{predictor}.dcm")
+    _write_jls_file(path, [stream], *pix.shape)
+    back = dicom.read_dcm(path)
+    np.testing.assert_array_equal(back.data[0], pix.astype(np.float32))
+
+
+def test_jpegls_point_transform(tmp_path, rng):
+    """Al (point transform) shifts decoded samples back up."""
+    pix = (rng.integers(0, 250, (5, 6)) & ~1).astype(np.uint16)  # even
+    stream = _py_jls_encode(pix, P=8, predictor=1, pt=1)
+    path = str(tmp_path / "pt.dcm")
+    _write_jls_file(path, [stream], *pix.shape, bits=8)
+    back = dicom.read_dcm(path)
+    np.testing.assert_array_equal(back.data[0], pix.astype(np.float32))
+
+
+def test_jpegls_restart_interval(tmp_path, rng):
+    pix = (32768 + rng.integers(-500, 500, (9, 7))).astype(np.uint16)
+    stream = _py_jls_encode(pix, P=16, predictor=1, ri=11)
+    path = str(tmp_path / "ri.dcm")
+    _write_jls_file(path, [stream], *pix.shape)
+    back = dicom.read_dcm(path)
+    np.testing.assert_array_equal(back.data[0], pix.astype(np.float32))
+
+
+def test_jpegls_multiframe_bot(tmp_path, rng):
+    """Multi-frame with a Basic Offset Table and per-frame fragments."""
+    frames = [(32768 + rng.integers(-250, 250, (6, 10))).astype(np.uint16)
+              for _ in range(3)]
+    streams = [_py_jls_encode(f, P=16) for f in frames]
+    path = str(tmp_path / "mf.dcm")
+    _write_jls_file(path, streams, 6, 10, with_bot=True)
+    back = dicom.read_dcm(path)
+    assert back.data.shape == (3, 6, 10)
+    for z, f in enumerate(frames):
+        np.testing.assert_array_equal(back.data[z], f.astype(np.float32))
+
+
+def test_jpegls_truncated_stream_rejected(tmp_path, rng):
+    pix = (32768 + rng.integers(-250, 250, (6, 6))).astype(np.uint16)
+    stream = _py_jls_encode(pix, P=16)[:20]
+    path = str(tmp_path / "bad.dcm")
+    _write_jls_file(path, [stream], 6, 6)
+    with pytest.raises(Exception):
+        dicom.read_dcm(path)
