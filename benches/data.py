@@ -1,0 +1,59 @@
+"""Synthetic bench volumes shared by bench.py and the gate calibration.
+
+Ellipsoidal (anisotropic) Gaussian blobs, positive amplitudes. Isotropic
+blobs are nearly useless for SIFT3D benchmarks: the detector's corner
+test (min |cos(eigvec, window grad)|, reference sift3d/sift.c:1464-1465)
+rejects spherically-symmetric structures, so volumes built from isotropic
+blobs yield single-digit keypoint counts and RANSAC routinely finds no
+model at all - for the C reference as much as for this build (measured
+round 3: 3-39 keypoints, most pairs unregistrable by either). Randomly
+oriented ellipsoids with axis ratios up to `aniso` give ~60-120 keypoints
+per 64^3 volume and ~1-voxel registration errors for both implementations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SHIFT = 3   # voxels along x; ground truth A = [I | (-SHIFT, 0, 0)]
+
+
+def make_volume(shape_zyx, nblob=60, seed=0, aniso=2.0,
+                sig_lo=1.5, sig_hi=4.0, amp_lo=0.3) -> np.ndarray:
+    """One blob volume (float32, zyx)."""
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = shape_zyx
+    z, y, x = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                          indexing="ij")
+    pts = np.stack([z, y, x], -1).astype(np.float64)
+    vol = np.zeros(shape_zyx)
+    for _ in range(nblob):
+        c = np.array([rng.uniform(4, n - 4) for n in shape_zyx])
+        Q = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+        sig = np.empty(3)
+        sig[0] = rng.uniform(sig_lo, sig_hi)
+        sig[1:] = sig[0] * rng.uniform(1.0, aniso, 2)
+        Sinv = Q @ np.diag(1.0 / sig ** 2) @ Q.T
+        d = pts - c
+        q = np.einsum("...i,ij,...j->...", d, Sinv, d)
+        vol += rng.uniform(amp_lo, 1.0) * np.exp(-0.5 * q)
+    return vol.astype(np.float32)
+
+
+def make_pairs(batch, shape_zyx, nblob=60, seed=11):
+    """(src, ref) stacks of `batch` pairs; ref = src rolled by SHIFT in x."""
+    src = np.stack([make_volume(shape_zyx, nblob, seed=seed + 1000 * b)
+                    for b in range(batch)])
+    ref = np.roll(src, SHIFT, axis=3)   # ref(x) = src(x - SHIFT)
+    return src, ref
+
+
+def pair_ok(A, shift=SHIFT, t_tol=5.0, lin_tol=5e-2):
+    """The reference's own accuracy contract, applied per pair: affine
+    linear part within 5e-2 elementwise and translation within 5 voxels
+    per element (wrappers/matlab/Sift3DTest.m:319-324)."""
+    A = np.asarray(A)
+    t = A[..., :, 3] - np.array([-shift, 0.0, 0.0])
+    lin = A[..., :, :3] - np.eye(3)
+    return (np.abs(t).max(axis=-1) < t_tol) & \
+        (np.abs(lin).max(axis=(-1, -2)) < lin_tol)
