@@ -116,19 +116,119 @@ def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
                     p, c, n, params.peak_thresh, cap))(
                 dog_b[(o, s - 1)], dog_b[(o, s)], dog_b[(o, s + 1)])
 
-    # Windowed feature stages run data-parallel on replicated-z levels.
-    rep = NamedSharding(mesh, P("data", None, None, None))
-    gpyr_b = {k: jax.lax.with_sharding_constraint(v, rep)
-              for k, v in gpyr_b.items()}
-
     caps = {k: detect_mod.level_cap(plan, k[0], params) for k in ext}
 
-    def one_volume(gpyr, ext_v):
-        kp = detect_mod.orient_levels(gpyr, ext_v, caps, plan, params)
-        desc = extract_descriptors(gpyr, kp, plan, params)
-        return kp, desc
+    if n_space <= 1:
+        # Pure data parallelism: windowed stages vmapped per volume.
+        rep = NamedSharding(mesh, P("data", None, None, None))
+        gpyr_b = {k: jax.lax.with_sharding_constraint(v, rep)
+                  for k, v in gpyr_b.items()}
 
-    return jax.vmap(one_volume)(gpyr_b, ext)
+        def one_volume(gpyr, ext_v):
+            kp = detect_mod.orient_levels(gpyr, ext_v, caps, plan, params)
+            desc = extract_descriptors(gpyr, kp, plan, params)
+            return kp, desc
+
+        return jax.vmap(one_volume)(gpyr_b, ext)
+
+    return _windows_z_sharded(gpyr_b, ext, caps, plan, params, mesh)
+
+
+def _windows_z_sharded(gpyr_b: dict, ext: dict, caps: dict, plan,
+                       params: SIFT3DParams, mesh: Mesh):
+    """Orientation + descriptors with windows partitioned over z
+    (SURVEY §5.7 back half; shard_windows partial-sum + psum design).
+
+    Levels whose z extent does not divide the "space" axis (the tiny deep
+    octaves) fall back to replicated-z vmapped compute; the selection is
+    static per level.
+    """
+    from ..features import detect as detect_mod
+    from ..features.descriptor import Descriptors, extract_level
+    from ..features.keypoints import concatenate as kp_concat
+    from ..features.orientation import assign_orientations_level
+    from ..dtypes import f64 as _f64
+    from .shard_windows import (descrip_level_z_sharded,
+                                orient_level_z_sharded)
+
+    n_space = mesh.shape["space"]
+    rep = NamedSharding(mesh, P("data", None, None, None))
+
+    def shardable(level_key):
+        nz_o = gpyr_b[level_key].shape[1]
+        return nz_o % n_space == 0 and nz_o // n_space >= 2
+
+    # --- orientation, level by level, then compact + concatenate ---
+    buckets = []
+    for o, s in detect_mod.kp_levels(plan):
+        zyx_b, count_b = ext[(o, s)]
+        cap = caps[(o, s)]
+        zyx_b = zyx_b[:, :cap]
+        count_b = jnp.minimum(count_b, cap)
+        geom = plan.gpyr_level(o, s)
+        units_o = plan.octave_units(o)
+        if shardable((o, s)):
+            R_b, valid_b = orient_level_z_sharded(
+                gpyr_b[(o, s)], zyx_b, geom.scale, units_o,
+                params.corner_thresh, mesh)
+        else:
+            lvl = jax.lax.with_sharding_constraint(gpyr_b[(o, s)], rep)
+            R_b, valid_b = jax.vmap(
+                lambda lv, z: assign_orientations_level(
+                    lv, z, geom.scale, units_o, params.corner_thresh))(
+                lvl, zyx_b)
+        buckets.append(jax.vmap(
+            lambda z, c, R, v, _o=o, _s=s, _sd=geom.scale, _cap=cap:
+            detect_mod._level_keypoints(z, c, R, v, _o, _s, _sd, _cap))(
+            zyx_b, count_b, R_b, valid_b))
+    kp = jax.vmap(lambda *bs: kp_concat(list(bs)))(*buckets)
+
+    # --- descriptors: per-level bucket gather -> sharded windows ---
+    B = kp.count.shape[0]
+    K = kp.x.shape[1]
+    vec = jnp.zeros((B, K, 768), jnp.float32)
+    valid_b = jax.vmap(lambda k: k.valid_mask())(kp)
+    for o, s in detect_mod.kp_levels(plan):
+        cap = caps[(o, s)]
+        if cap <= 0:
+            continue
+        geom = plan.gpyr_level(o, s)
+        units_o = plan.octave_units(o)
+
+        def bucket(kpv, vmask, _o=o, _s=s, _cap=cap):
+            sel = vmask & (kpv.o == _o) & (kpv.s == _s)
+            pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            dest = jnp.where(sel & (pos < _cap), pos, _cap)
+            rows = jnp.zeros(_cap + 1, jnp.int32).at[dest].set(
+                jnp.arange(K, dtype=jnp.int32))[:_cap]
+            n_in = jnp.minimum(pos[-1] + 1, _cap)
+            centers = jnp.stack(
+                [kpv.z[rows], kpv.y[rows], kpv.x[rows]], -1
+            ).astype(jnp.float32)
+            return rows, n_in, centers, kpv.R[rows]
+
+        rows_b, n_b, centers_b, Rm_b = jax.vmap(bucket)(kp, valid_b)
+        if shardable((o, s)):
+            desc_b = descrip_level_z_sharded(
+                gpyr_b[(o, s)], centers_b, Rm_b, geom.scale, units_o,
+                mesh)
+        else:
+            lvl = jax.lax.with_sharding_constraint(gpyr_b[(o, s)], rep)
+            desc_b = jax.vmap(
+                lambda lv, c, R, n: extract_level(
+                    lv, c, R, geom.scale, units_o, count=n))(
+                lvl, centers_b, Rm_b, n_b)
+        bucket_valid = jnp.arange(cap)[None, :] < n_b[:, None]
+        safe_rows = jnp.where(bucket_valid, rows_b, K)
+        vec = jax.vmap(
+            lambda v, r, d, m: v.at[r].set(
+                jnp.where(m[:, None], d, 0), mode="drop"))(
+            vec, safe_rows, desc_b, bucket_valid)
+
+    factor = jnp.exp2(kp.o.astype(_f64()))
+    xyz = jnp.stack([kp.x * factor, kp.y * factor, kp.z * factor], -1)
+    desc = Descriptors(xyz=xyz, sd=kp.sd, vec=vec, count=kp.count)
+    return kp, desc
 
 
 def batch_register_pairs(src_vols: jax.Array, ref_vols: jax.Array,
