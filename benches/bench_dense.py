@@ -1,0 +1,118 @@
+"""Config-3 benchmark: dense descriptor field throughput (512^3).
+
+Runs the denseSift3D-equivalent path (smooth/scale -> per-voxel gradient
+-> barycentric splat -> 12-channel Gaussian smoothing -> per-voxel
+postprocess; SURVEY §3.3, reference sift3d/sift.c:2354-2496) on a
+synthetic volume and reports voxels/second. The 12-channel blur at this
+size is the banded-conv showcase: the dense-matmul formulation does
+O(n) MACs/voxel/axis (~25x useful FLOPs at n=512, VERDICT r2 #5); axes
+>= ops.conv.BANDED_MIN_N take the O(taps) diagonal path.
+
+Usage: python benches/bench_dense.py [n] [--check]
+  n        cube edge (default 512 - the BASELINE.json config-3 size)
+  --check  also run the C oracle's dense path on the same volume
+           (very slow at 512^3; use a smaller n with --check)
+
+Prints ONE JSON line on stdout; diagnostics on stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+BASELINES = {
+    # C reference v1.4.6 dense path, this host single core, measured via
+    # tests/oracle --check runs (BASELINE.md round 3).
+    128: None,
+    512: None,
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    n = 512
+    check = False
+    for a in sys.argv[1:]:
+        if a == "--check":
+            check = True
+        else:
+            n = int(a)
+    shape = (n, n, n)
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from benches.data import make_volume
+    from sift3d_tpu.config import SIFT3DParams
+    from sift3d_tpu.features.dense import extract_dense_descriptors
+    from sift3d_tpu.utils import roofline
+
+    params = SIFT3DParams()
+    print(f"generating {shape} volume ...", file=sys.stderr, flush=True)
+    vol = make_volume(shape, nblob=max(60, n // 2), seed=7)
+    volj = jnp.asarray(vol)
+
+    fn = jax.jit(lambda v: extract_dense_descriptors(
+        v, units=(1.0, 1.0, 1.0), params=params))
+
+    out = jax.block_until_ready(fn(volj))       # warm-up / compile
+    assert np.isfinite(np.asarray(out[:, :2, :2, :2])).all()
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(volj))
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    voxels_per_s = (n ** 3) / t
+
+    # Roofline: input blur (1 ch) + splat + 12-channel blur + postproc.
+    taps = 13                        # ~sigma0*desc_sig_fctr/4 band width
+    vox = float(n) ** 3
+    cost = roofline.StageCost(
+        bytes_moved=(2 * 4 * vox) * 3            # input smooth, 3 axes
+        + 4 * vox + 12 * 4 * vox                 # splat read + write
+        + (2 * 12 * 4 * vox) * 3                 # 12-chan blur, 3 axes
+        + 2 * 12 * 4 * vox,                      # postprocess r+w
+        flops=vox * (2 * taps * 3) * 13 + vox * 120)
+    for rec in roofline.roofline_report({"dense": t}, {"dense": cost}):
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+
+    if check:
+        _oracle_check(vol, np.asarray(out), n)
+
+    base = BASELINES.get(n)
+    print(json.dumps({
+        "metric": f"dense_descriptor_voxels_per_s_{n}",
+        "value": round(voxels_per_s, 1),
+        "unit": "voxel/s",
+        "vs_baseline": round(voxels_per_s / base, 3) if base else None,
+    }))
+
+
+def _oracle_check(vol, ours, n):
+    sys.path.insert(0, os.path.join(_REPO, "tests"))
+    from oracle import get
+    orc = get()
+    if orc is None:
+        print("oracle unavailable; skipping check", file=sys.stderr)
+        return
+    t0 = time.perf_counter()
+    ref = orc.dense(vol)
+    tc = time.perf_counter() - t0
+    print(f"C reference dense: {tc:.2f} s = {n ** 3 / tc:.3e} vox/s",
+          file=sys.stderr, flush=True)
+    np.testing.assert_allclose(ours, ref.reshape(ours.shape), atol=2e-3)
+    print("dense field matches the C reference (2e-3)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

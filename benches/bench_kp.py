@@ -1,18 +1,25 @@
-"""Headline benchmark: end-to-end keypoint+descriptor throughput.
+"""Config-2 benchmark: end-to-end keypoint+descriptor throughput.
 
 Runs the kpSift3D-equivalent pipeline (scale-space -> DoG -> extrema ->
-orientation -> descriptors; SURVEY §3.1) on a synthetic 128^3 volume and
+orientation -> descriptors; SURVEY §3.1) on a synthetic volume and
 reports voxels/second through the full pipeline (host input -> device ->
 padded descriptor set), steady state, min of 10 timed runs (the tunneled
 TPU adds up to 2x run-to-run jitter; BASELINE.md cites this protocol).
+Also prints a per-stage roofline (utils/roofline.py): achieved GB/s and
+FLOP/s vs TPU v5e peaks, from analytic useful-work counts.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Usage: python benches/bench_kp.py [n] [--check]
+  n        cube edge (default 256 - the BASELINE.json config-2 size;
+           round 1 measured 128)
+  --check  also run the C oracle on the same volume and verify row-exact
+           keypoint agreement (slow: the reference needs ~70 s at 256^3)
 
-Baseline: the reference C implementation (bbrister/SIFT3D v1.4.6, -O3,
-OpenMP), measured on this machine's CPU via the test oracle on the same
-volume: 9.04 s for 128^3 detect+extract = 2.32e5 voxel/s (single core;
-both implementations find the same 25 keypoints). See BASELINE.md. The
-reference publishes no numbers of its own.
+Prints ONE JSON line on stdout; diagnostics on stderr.
+
+Baselines (C reference v1.4.6, -O3 + OpenMP, this host's single core,
+measured via tests/oracle): 128^3 blobs: 9.04 s = 2.32e5 vox/s
+(round 1); 256^3 ellipsoid volume: measured by --check runs and recorded
+in BASELINE.md.
 """
 
 import json
@@ -22,46 +29,50 @@ import time
 
 import numpy as np
 
-BASELINE_VOXELS_PER_S = 2.32e5   # C reference, this host, 128^3 (BASELINE.md)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-SHAPE = (128, 128, 128)
-
-
-def make_vol(shape_zyx, seed=7):
-    rng = np.random.default_rng(seed)
-    nz, ny, nx = shape_zyx
-    z, y, x = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
-                          indexing="ij")
-    vol = np.zeros(shape_zyx, np.float64)
-    for _ in range(120):
-        cz, cy, cx = rng.uniform(0, nz), rng.uniform(0, ny), rng.uniform(0, nx)
-        sig = rng.uniform(1.2, 4.0)
-        vol += rng.uniform(-1, 1) * np.exp(
-            -((z - cz) ** 2 + (y - cy) ** 2 + (x - cx) ** 2) / (2 * sig * sig))
-    return vol.astype(np.float32)
+BASELINES = {
+    128: 2.32e5,    # measured round 1 (BASELINE.md)
+    256: 2.48e5,    # measured round 3 via --check (BASELINE.md)
+}
 
 
 def main():
     import jax
 
-    sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    n = 256
+    check = False
+    for a in sys.argv[1:]:
+        if a == "--check":
+            check = True
+        else:
+            n = int(a)
+    shape = (n, n, n)
+
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from benches.data import make_volume
+    from sift3d_tpu import pyramid as pyr_mod
     from sift3d_tpu.api import Sift3D
     from sift3d_tpu.config import SIFT3DParams
+    from sift3d_tpu.utils import roofline
 
-    sift = Sift3D(SIFT3DParams(max_kp_per_level=4096))
-    vol = make_vol(SHAPE)
+    params = SIFT3DParams(max_kp_per_level=4096)
+    sift = Sift3D(params)
+    print(f"generating {shape} volume ...", file=sys.stderr, flush=True)
+    vol = make_volume(shape, nblob=max(60, n), seed=7)
 
     def run():
         kp, desc = sift.detect_and_extract(vol)
         jax.block_until_ready(desc.vec)
-        return desc
+        return kp, desc
 
-    desc = run()                    # warm-up / compile
-    assert int(desc.count) > 0
+    kp, desc = run()                # warm-up / compile
+    n_kp = int(kp.count)
+    assert n_kp > 0
+    print(f"{n_kp} keypoints", file=sys.stderr, flush=True)
 
     times = []
     for _ in range(10):
@@ -69,15 +80,56 @@ def main():
         run()
         times.append(time.perf_counter() - t0)
     t = min(times)   # min-of-10: the tunneled TPU adds run-to-run jitter
-    nz, ny, nx = SHAPE
-    voxels_per_s = (nz * ny * nx) / t
+    voxels_per_s = (n ** 3) / t
 
+    # Per-stage roofline from a second timed run split at stage seams.
+    plan = pyr_mod.plan_pyramid(shape, (1.0, 1.0, 1.0), params)
+    costs = {
+        "pyramid+dog": roofline.pyramid_cost(plan),
+        "extrema": roofline.extrema_cost(plan),
+        "windows": roofline.descriptor_cost(n_kp, 17.0 ** 3),
+        "total": (roofline.pyramid_cost(plan) + roofline.extrema_cost(plan)
+                  + roofline.descriptor_cost(n_kp, 17.0 ** 3)),
+    }
+    for rec in roofline.roofline_report({"total": t}, costs):
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+
+    if check:
+        _oracle_check(vol, kp, n)
+
+    base = BASELINES.get(n)
     print(json.dumps({
-        "metric": "kp_pipeline_voxels_per_s",
+        "metric": f"kp_pipeline_voxels_per_s_{n}",
         "value": round(voxels_per_s, 1),
         "unit": "voxel/s",
-        "vs_baseline": round(voxels_per_s / BASELINE_VOXELS_PER_S, 3),
+        "vs_baseline": round(voxels_per_s / base, 3) if base else None,
     }))
+
+
+def _oracle_check(vol, kp, n):
+    """Row-exact keypoint agreement with the C reference + C timing."""
+    sys.path.insert(0, os.path.join(_REPO, "tests"))
+    from oracle import get
+    orc = get()
+    if orc is None:
+        print("oracle unavailable; skipping bit-check", file=sys.stderr)
+        return
+    t0 = time.perf_counter()
+    rows_c = orc.detect(vol)
+    orc.extract()
+    tc = time.perf_counter() - t0
+    print(f"C reference: {tc:.2f} s = {n ** 3 / tc:.3e} vox/s, "
+          f"{len(rows_c)} keypoints", file=sys.stderr, flush=True)
+    ours = kp.to_numpy()
+    assert len(rows_c) == len(ours), (len(rows_c), len(ours))
+    # Row-exact contract: coords/octave/scale identical, R to 1e-3
+    # (PARITY.md #19-20).
+    a = ours[np.lexsort(ours[:, :3].T)]
+    b = rows_c[np.lexsort(rows_c[:, :3].T)]
+    np.testing.assert_array_equal(a[:, :4], b[:, :4])
+    np.testing.assert_allclose(a[:, 5:], b[:, 5:], atol=1e-3)
+    print("bit-check: keypoint rows match the C reference",
+          file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

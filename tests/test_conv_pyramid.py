@@ -1,5 +1,6 @@
 """Golden tests: convolution and pyramid vs the reference C oracle."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -76,3 +77,33 @@ def test_gpyr_anisotropic_matches_oracle(oracle):
             assert got.shape == ref.shape
             err = np.max(np.abs(got - ref))
             assert err < 5e-5, (o, s, err)
+
+
+def test_conv_axis_banded_matches_matmul(rng):
+    """The diagonal (banded) formulation equals the matmul on the same
+    exact matrix, including mirror boundaries and mm-unit interpolation."""
+    from sift3d_tpu.ops.conv import (conv_axis, conv_axis_banded,
+                                     conv_matrix)
+    from sift3d_tpu.ops.gauss import gauss_taps
+
+    taps = gauss_taps(2.2)
+    vol = jnp.asarray(rng.standard_normal((12, 40, 24)).astype(np.float32))
+    for axis, unit_dim in ((0, 1.0), (1, 0.7), (2, 1.9)):
+        n = vol.shape[axis]
+        want = np.asarray(conv_axis(vol, conv_matrix(taps, 1.0, unit_dim,
+                                                     n), axis))
+        got = np.asarray(conv_axis_banded(vol, taps, 1.0, unit_dim, axis))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_conv_sep_banded_threshold(rng, monkeypatch):
+    """conv_sep output is unchanged when the banded path is forced on."""
+    from sift3d_tpu.ops import conv
+    from sift3d_tpu.ops.gauss import gauss_taps
+
+    taps = gauss_taps(1.6)
+    vol = jnp.asarray(rng.standard_normal((16, 20, 18)).astype(np.float32))
+    want = np.asarray(conv.conv_sep(vol, taps, 1.0, (1.0, 1.3, 0.8)))
+    monkeypatch.setattr(conv, "BANDED_MIN_N", 1)
+    got = np.asarray(conv.conv_sep(vol, taps, 1.0, (1.0, 1.3, 0.8)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
