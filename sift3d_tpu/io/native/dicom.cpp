@@ -61,6 +61,11 @@ const char *UID_ExplicitLE = "1.2.840.10008.1.2.1";
 // (dicom.cpp:69-73), so reference-produced directories need it.
 const char *UID_JPEGLossless14 = "1.2.840.10008.1.2.4.57";
 const char *UID_JPEGLosslessSV1 = "1.2.840.10008.1.2.4.70";
+// Lossy DCT-based JPEG: Baseline (Process 1, 8-bit) and Extended
+// (Process 2&4, 12-bit) - DCMTK registers decoders for these too
+// (reference dicom.cpp:69-73).
+const char *UID_JPEGBaseline = "1.2.840.10008.1.2.4.50";
+const char *UID_JPEGExtended = "1.2.840.10008.1.2.4.51";
 const char *UID_CTImageStorage = "1.2.840.10008.5.1.4.1.1.2";
 const char *UID_DSO = "1.2.840.10008.5.1.4.1.1.66.4";
 const char *UID_PET = "1.2.840.10008.5.1.4.1.1.128";
@@ -210,6 +215,7 @@ struct DcmFile {
     // Encapsulated (compressed) pixel data: raw fragments + the Basic
     // Offset Table, decoded into pixel_data after the dataset walk.
     bool encapsulated = false;
+    bool lossy_dct = false;      // SOF0/SOF1 syntax vs lossless SOF3
     std::vector<std::vector<uint8_t>> fragments;
     std::vector<uint32_t> bot;
     // PET SUV inputs (dicom.cpp:646-740)
@@ -501,6 +507,199 @@ bool jls_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
     return true;
 }
 
+// ------------------------- baseline/extended (DCT) JPEG decode (SOF0/1)
+
+const double kPi = 3.14159265358979323846;
+
+// 8x8 inverse DCT (T.81 A.3.3), straightforward separable float form.
+void idct8x8(const double in[64], double out[64]) {
+    static double C[8][8];
+    static bool init = false;
+    if (!init) {
+        for (int u = 0; u < 8; u++)
+            for (int x = 0; x < 8; x++)
+                C[u][x] = (u == 0 ? std::sqrt(0.125) : 0.5) *
+                    std::cos((2 * x + 1) * u * kPi / 16.0);
+        init = true;
+    }
+    double tmp[64];
+    for (int y = 0; y < 8; y++)                  // rows: over u
+        for (int x = 0; x < 8; x++) {
+            double s = 0;
+            for (int u = 0; u < 8; u++) s += C[u][x] * in[y * 8 + u];
+            tmp[y * 8 + x] = s;
+        }
+    for (int x = 0; x < 8; x++)                  // cols: over v
+        for (int y = 0; y < 8; y++) {
+            double s = 0;
+            for (int v = 0; v < 8; v++) s += C[v][y] * tmp[v * 8 + x];
+            out[y * 8 + x] = s;
+        }
+}
+
+const uint8_t kZigzag[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// Decode one single-component SOF0/SOF1 stream into samples[w*h].
+bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
+                 std::vector<uint16_t> &samples, int *precision,
+                 const char *path) {
+    const uint8_t *p = buf, *end = buf + len;
+    auto u16be = [&](const uint8_t *q) {
+        return (int)((q[0] << 8) | q[1]);
+    };
+    if (len < 4 || p[0] != 0xFF || p[1] != 0xD8) {
+        set_err("%s: fragment is not a JPEG stream", path);
+        return false;
+    }
+    p += 2;
+    HuffTable dc_tab[4], ac_tab[4];
+    uint16_t qt[4][64] = {};
+    int P = 0, w = 0, h = 0, ri = 0;
+    int comp_dc = 0, comp_ac = 0, comp_q = 0;
+    const uint8_t *scan = nullptr;
+
+    while (p + 4 <= end) {
+        if (p[0] != 0xFF) { p++; continue; }
+        int m = p[1];
+        if (m == 0xFF) { p++; continue; }
+        p += 2;
+        if (m == 0xD9) break;
+        int seglen = u16be(p);
+        if (p + seglen > end || seglen < 2) {
+            set_err("%s: truncated JPEG segment", path);
+            return false;
+        }
+        const uint8_t *q = p + 2, *qend = p + seglen;
+        if (m == 0xC0 || m == 0xC1) {            // SOF0 / SOF1
+            P = q[0];
+            h = u16be(q + 1);
+            w = u16be(q + 3);
+            if (q[5] != 1) {
+                set_err("%s: only single-component DCT JPEG is "
+                        "supported", path);
+                return false;
+            }
+            comp_q = q[8] & 15;
+            if ((q[7] >> 4) != 1 || (q[7] & 15) != 1) {
+                set_err("%s: JPEG subsampling unsupported", path);
+                return false;
+            }
+        } else if (m == 0xC4) {                  // DHT
+            while (q + 17 <= qend) {
+                int tc = q[0] >> 4, th = q[0] & 15;
+                int nv = 0;
+                for (int i = 0; i < 16; i++) nv += q[1 + i];
+                if (q + 17 + nv > qend) break;
+                if (th < 4) {
+                    if (tc == 0) dc_tab[th].build(q + 1, q + 17, nv);
+                    else if (tc == 1) ac_tab[th].build(q + 1, q + 17, nv);
+                }
+                q += 17 + nv;
+            }
+        } else if (m == 0xDB) {                  // DQT
+            while (q < qend) {
+                int pq = q[0] >> 4, tq = q[0] & 15;
+                q++;
+                for (int i = 0; i < 64; i++) {
+                    if (pq) { qt[tq][i] = (uint16_t)u16be(q); q += 2; }
+                    else qt[tq][i] = *q++;
+                }
+            }
+        } else if (m == 0xDD) {
+            ri = u16be(q);
+        } else if (m == 0xDA) {                  // SOS
+            comp_dc = q[2] >> 4;
+            comp_ac = q[2] & 15;
+            scan = qend;
+            break;
+        } else if (m == 0xC3 || (m >= 0xC5 && m <= 0xCF && m != 0xC8 &&
+                                 m != 0xCC)) {
+            set_err("%s: unsupported JPEG SOF for DCT decode", path);
+            return false;
+        }
+        p = qend;
+    }
+    if (!scan || !P || w <= 0 || h <= 0) {
+        set_err("%s: JPEG stream missing SOF0/SOF1/SOS", path);
+        return false;
+    }
+    if (w != want_w || h != want_h) {
+        set_err("%s: JPEG frame size disagrees with Rows/Columns", path);
+        return false;
+    }
+    if (!dc_tab[comp_dc].present || !ac_tab[comp_ac].present) {
+        set_err("%s: JPEG scan references undefined Huffman tables",
+                path);
+        return false;
+    }
+    *precision = P;
+    const int maxval = (1 << P) - 1;
+    const int shift = 1 << (P - 1);
+    const int bw = (w + 7) / 8, bh = (h + 7) / 8;
+    samples.assign((size_t)w * h, 0);
+
+    BitReader br(scan, end);
+    int32_t dc_pred = 0;
+    int until_rst = ri;
+    for (int by = 0; by < bh; by++)
+        for (int bx = 0; bx < bw; bx++) {
+            if (ri && !until_rst) {
+                br.align_and_skip_rst();
+                until_rst = ri;
+                dc_pred = 0;
+            }
+            double blk[64] = {0};
+            int t = br.decode(dc_tab[comp_dc]);
+            if (t > 16 || br.bad) {
+                set_err("%s: corrupt JPEG DC code", path);
+                return false;
+            }
+            dc_pred += jls_extend(br.bits(t >= 16 ? 0 : t), t);
+            blk[0] = (double)dc_pred * qt[comp_q][0];
+            for (int k = 1; k < 64;) {
+                int rs = br.decode(ac_tab[comp_ac]);
+                if (br.bad) {
+                    set_err("%s: truncated JPEG entropy data", path);
+                    return false;
+                }
+                int r = rs >> 4, s_ = rs & 15;
+                if (s_ == 0) {
+                    if (r == 15) { k += 16; continue; }   // ZRL
+                    break;                                 // EOB
+                }
+                k += r;
+                if (k > 63) {
+                    set_err("%s: corrupt JPEG AC run", path);
+                    return false;
+                }
+                int32_t v = jls_extend(br.bits(s_), s_);
+                blk[kZigzag[k]] = (double)v * qt[comp_q][k];
+                k++;
+            }
+            double px[64];
+            idct8x8(blk, px);
+            for (int yy = 0; yy < 8; yy++) {
+                int y = by * 8 + yy;
+                if (y >= h) break;
+                for (int xx = 0; xx < 8; xx++) {
+                    int x = bx * 8 + xx;
+                    if (x >= w) break;
+                    double v = px[yy * 8 + xx] + shift;
+                    long iv = std::lround(v);
+                    if (iv < 0) iv = 0;
+                    if (iv > maxval) iv = maxval;
+                    samples[(size_t)y * w + x] = (uint16_t)iv;
+                }
+            }
+            if (ri) until_rst--;
+        }
+    return true;
+}
+
 // Encode samples[w*h] (precision P bits) as an SV1 (predictor 1,
 // Pt 0) lossless JPEG stream - the syntax the reference writes
 // (dicom.cpp:1748). Huffman table is built fixed: length-(k+1) codes
@@ -630,8 +829,12 @@ int decode_encapsulated(DcmFile &f, const char *path) {
                           f.fragments[i].end());
         std::vector<uint16_t> samples;
         int P = 0;
-        if (!jls_decode(stream.data(), stream.size(), f.cols, f.rows,
-                        samples, &P, path))
+        const bool ok = f.lossy_dct
+            ? jdct_decode(stream.data(), stream.size(), f.cols, f.rows,
+                          samples, &P, path)
+            : jls_decode(stream.data(), stream.size(), f.cols, f.rows,
+                         samples, &P, path);
+        if (!ok)
             return S3D_UNSUPPORTED_FILE_TYPE;
         uint8_t *dst = f.pixel_data.data() + frame_px * bytes_per * fr;
         for (size_t i = 0; i < frame_px; i++) {
@@ -688,6 +891,11 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
                f.transfer_syntax == UID_JPEGLossless14) {
         ps.explicit_vr = true;
         f.encapsulated = true;
+    } else if (f.transfer_syntax == UID_JPEGBaseline ||
+               f.transfer_syntax == UID_JPEGExtended) {
+        ps.explicit_vr = true;
+        f.encapsulated = true;
+        f.lossy_dct = true;
     } else {
         set_err("%s: unsupported transfer syntax %s (uncompressed "
                 "little-endian and lossless JPEG are supported)", path,

@@ -604,3 +604,162 @@ def test_jpegls_truncated_stream_rejected(tmp_path, rng):
     _write_jls_file(path, [stream], 6, 6)
     with pytest.raises(Exception):
         dicom.read_dcm(path)
+
+
+# ------------------------------------------- baseline/extended DCT JPEG
+
+def _py_jdct_encode(samples, P=8, quant=1):
+    """Independent pure-Python single-component baseline/extended JPEG
+    encoder (SOF0 for P=8, SOF1 for P=12) with a flat quantization table
+    of `quant` - near-lossless at quant=1 (only DCT rounding), which lets
+    the test bound the decoder against the original pixels."""
+    import struct
+    h, w = samples.shape
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    C = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            C[u, x] = (np.sqrt(0.125) if u == 0 else 0.5) * \
+                np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+    def fdct(b):
+        return C @ b @ C.T
+
+    # Fixed-length canonical Huffman tables (a degenerate but valid
+    # Huffman code): every symbol gets the same code length L, so the
+    # decoder's mincode/maxcode machinery is still exercised.
+    def canonical_fixed(values, L):
+        bits = [0] * 16
+        bits[L - 1] = len(values)
+        assert len(values) < (1 << L)
+        codes = {v: (i, L) for i, v in enumerate(values)}
+        return bits, list(values), codes
+
+    dc_vals = list(range(17))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | ss
+                              for r in range(16) for ss in range(1, 14)]
+    dc_bits, dc_v, dc_codes = canonical_fixed(dc_vals, 6)
+    ac_bits, ac_v, ac_codes = canonical_fixed(ac_syms, 9)
+
+    out = bytearray(b"\xff\xd8")
+    qtab = bytes([quant] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qtab
+    for tc, (bits, vals) in ((0, (dc_bits, dc_v)), (1, (ac_bits, ac_v))):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    sof = 0xC0 if P == 8 else 0xC1
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 11, P, h, w, 1)
+    out += b"\x01\x11\x00"
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00"
+    out += b"\x00\x3f\x00"                      # Ss=0, Se=63, Ah:Al=0
+
+    acc, nacc = 0, 0
+    body = bytearray()
+
+    def put(code, length):
+        nonlocal acc, nacc
+        acc = (acc << length) | code
+        nacc += length
+        while nacc >= 8:
+            b = (acc >> (nacc - 8)) & 0xFF
+            body.append(b)
+            if b == 0xFF:
+                body.append(0x00)
+            nacc -= 8
+
+        acc &= (1 << nacc) - 1
+
+    def putv(v):
+        ssss = int(abs(v)).bit_length()
+        extra = v if v >= 0 else (v - 1) & ((1 << ssss) - 1)
+        return ssss, extra
+
+    shift = 1 << (P - 1)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8), np.float64)
+    padded[:h, :w] = samples.astype(np.float64) - shift
+    padded[h:, :w] = padded[h - 1:h, :w]        # edge-extend padding
+    padded[:, w:] = padded[:, w - 1:w]
+    dc_pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = fdct(padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8])
+            zz = np.round(blk.flatten()[ZZ] / quant).astype(np.int64)
+            ssss, extra = putv(int(zz[0]) - dc_pred)
+            dc_pred = int(zz[0])
+            put(*dc_codes[ssss])
+            if ssss:
+                put(extra, ssss)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(*ac_codes[0xF0])
+                    run -= 16
+                ssss, extra = putv(v)
+                sym = (run << 4) | ssss
+                assert sym in ac_codes, f"missing AC symbol {sym:#x}"
+                put(*ac_codes[sym])
+                put(extra, ssss)
+                run = 0
+            if run:
+                put(*ac_codes[0x00])            # EOB
+    if nacc:
+        put((1 << (8 - nacc)) - 1, 8 - nacc)
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_baseline_8bit(tmp_path, rng):
+    """Pure-Python SOF0 encoder (flat quant=1: near-lossless) -> native
+    decoder; smooth data keeps AC categories small."""
+    y, x = np.meshgrid(np.arange(24), np.arange(17), indexing="ij")
+    pix = (120 + 60 * np.sin(y / 5.0) + 40 * np.cos(x / 4.0)
+           ).astype(np.uint16)
+    stream = _py_jdct_encode(pix, P=8)
+    path = str(tmp_path / "b8.dcm")
+    _write_jls_file(path, [stream], *pix.shape, bits=8)
+    # Patch the crafted file's transfer syntax to Baseline Process 1.
+    raw = open(path, "rb").read().replace(b"1.2.840.10008.1.2.4.70",
+                                          b"1.2.840.10008.1.2.4.50")
+    open(path, "wb").write(raw)
+    back = dicom.read_dcm(path)
+    np.testing.assert_allclose(back.data[0], pix.astype(np.float32),
+                               atol=2.0)
+
+
+def test_jpeg_extended_12bit(tmp_path, rng):
+    y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    pix = (2048 + 900 * np.sin(y / 6.0) * np.cos(x / 5.0)
+           ).astype(np.uint16)
+    stream = _py_jdct_encode(pix, P=12)
+    path = str(tmp_path / "b12.dcm")
+    _write_jls_file(path, [stream], *pix.shape, bits=16)
+    raw = open(path, "rb").read().replace(b"1.2.840.10008.1.2.4.70",
+                                          b"1.2.840.10008.1.2.4.51")
+    open(path, "wb").write(raw)
+    back = dicom.read_dcm(path)
+    np.testing.assert_allclose(back.data[0], pix.astype(np.float32),
+                               atol=3.0)
+
+
+def test_jpeg_baseline_quantized_lossy(tmp_path, rng):
+    """Real lossy quantization decodes to approximately the original."""
+    y, x = np.meshgrid(np.arange(16), np.arange(24), indexing="ij")
+    pix = (100 + 80 * np.sin(y / 7.0) + 50 * np.cos(x / 6.0)
+           ).astype(np.uint16)
+    stream = _py_jdct_encode(pix, P=8, quant=4)
+    path = str(tmp_path / "lossy.dcm")
+    _write_jls_file(path, [stream], *pix.shape, bits=8)
+    raw = open(path, "rb").read().replace(b"1.2.840.10008.1.2.4.70",
+                                          b"1.2.840.10008.1.2.4.50")
+    open(path, "wb").write(raw)
+    back = dicom.read_dcm(path)
+    np.testing.assert_allclose(back.data[0], pix.astype(np.float32),
+                               atol=10.0)
