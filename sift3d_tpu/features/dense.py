@@ -186,6 +186,72 @@ def _extract_dense_rotate(vol, smooth, units, params) -> jax.Array:
     return jnp.moveaxis(out, -1, 0)
 
 
+# Above this many voxels the splat-and-blur path switches to the
+# channel-sequential formulation: the all-at-once path materializes
+# (V, 20) face scores and (V, 12) weights - 10.7 GB + 6.4 GB at 512^3,
+# beyond one chip's HBM (BASELINE.json config 3).
+DENSE_CHANNEL_SEQ_VOX = 1 << 25
+
+
+def _splat_compact(smooth: jax.Array, units) -> tuple[jax.Array, jax.Array]:
+    """Per-voxel (3,) vertex ids + (3,) barycentric weights - the compact
+    form of the 12-channel splat: 16 B/voxel instead of 48 (plus the
+    20-channel binning transient)."""
+    from ..ops.geometry import face_tables
+
+    nz, ny, nx = smooth.shape
+    ux, uy, uz = (np.float32(u) for u in units)
+    z = jnp.zeros_like(smooth)
+    gx = z.at[1:-1, 1:-1, 1:-1].set(
+        jnp.float32(0.5) * (smooth[1:-1, 1:-1, 2:] - smooth[1:-1, 1:-1, :-2])
+        * (np.float32(1.0) / ux))
+    gy = z.at[1:-1, 1:-1, 1:-1].set(
+        jnp.float32(0.5) * (smooth[1:-1, 2:, 1:-1] - smooth[1:-1, :-2, 1:-1])
+        * (np.float32(1.0) / uy))
+    gz = z.at[1:-1, 1:-1, 1:-1].set(
+        jnp.float32(0.5) * (smooth[2:, 1:-1, 1:-1] - smooth[:-2, 1:-1, 1:-1])
+        * (np.float32(1.0) / uz))
+    interior = jnp.zeros(smooth.shape, bool).at[1:-1, 1:-1, 1:-1].set(True)
+    grad = jnp.stack([gx, gy, gz], -1)
+    face, bary, ok = icos_hist_bin(grad)
+    ok = ok & interior
+    idx = np.asarray(face_tables()["idx"], np.int32)         # (20, 3)
+    # vt_j = idx[face, j] via 20-way select (gather-free).
+    vt = []
+    for j in range(3):
+        v = jnp.zeros(smooth.shape, jnp.int32)
+        for f in range(20):
+            v = v + jnp.where(face == f, np.int32(idx[f, j]), 0)
+        vt.append(v)
+    w = bary * ok[..., None].astype(jnp.float32)             # (z, y, x, 3)
+    return jnp.stack(vt), jnp.moveaxis(w, -1, 0)             # (3, z, y, x)
+
+
+def _dense_channels_seq(vol, smooth, units, taps) -> jax.Array:
+    """Channel-sequential splat + blur + postprocess: peak memory is the
+    (12, V) result + one channel of transients, not the 20-channel
+    binning intermediates."""
+    vt, w = _splat_compact(smooth, units)
+
+    def one_channel(c):
+        w_c = sum(w[j] * (vt[j] == c).astype(jnp.float32) for j in range(3))
+        return conv.conv_sep(w_c, taps, 1.0, (1.0, 1.0, 1.0))
+
+    blurred = jax.lax.map(one_channel, jnp.arange(12))       # (12, z, y, x)
+
+    # postproc_Hist (sift.c:2267-2292) with channel-at-a-time reductions.
+    trunc = jnp.float32(TRUNC_THRESH) * jnp.float32(DESC_NUMEL / HIST_NUMEL)
+    n1 = jnp.sqrt(sum(blurred[c].astype(f64()) ** 2 for c in range(12)))
+    inv1 = (1.0 / (n1 + _DBL_EPSILON)).astype(jnp.float32)
+    n2 = jnp.sqrt(sum(
+        jnp.minimum(blurred[c] * inv1, trunc).astype(f64()) ** 2
+        for c in range(12)))
+    inv2 = (1.0 / (n2 + _DBL_EPSILON)).astype(jnp.float32) * vol
+    return jax.lax.map(
+        lambda c: jnp.minimum(blurred[c] * inv1, trunc) * inv2,
+        jnp.arange(12))
+
+
 def extract_dense_descriptors(vol: jax.Array,
                               units: tuple[float, float, float] = (1., 1., 1.),
                               params: SIFT3DParams = SIFT3DParams(),
@@ -204,7 +270,6 @@ def extract_dense_descriptors(vol: jax.Array,
         return _extract_dense_rotate(vol, smooth, units, params)
     vol = vol.astype(jnp.float32)
     smooth = smooth_scale_raw_input(vol, units, params)
-    splat = _bary_splat(smooth, units)
 
     sigma_win = params.sigma0 * DESC_SIG_FCTR / NHIST_PER_DIM
     taps = gauss_taps(sigma_win)
@@ -212,6 +277,9 @@ def extract_dense_descriptors(vol: jax.Array,
     # its *dims* copied from the input (sift.c:2383-2386), never its units,
     # so this blur runs at voxel spacing (1,1,1) even for anisotropic
     # volumes - while the gradients above ARE unit-corrected.
+    if vol.size >= DENSE_CHANNEL_SEQ_VOX:
+        return _dense_channels_seq(vol, smooth, units, taps)
+    splat = _bary_splat(smooth, units)
     blurred = conv.conv_sep(splat, taps, 1.0, (1.0, 1.0, 1.0))
 
     hist = jnp.moveaxis(blurred, 0, -1)                      # (z, y, x, 12)

@@ -80,3 +80,20 @@ def test_im_resample_shapes():
     back = im_resample(out, (1.0, 1.0, 1.0), (1.0, 1.0, 2.0))
     assert back.shape == (16, 16, 16)
     np.testing.assert_allclose(np.asarray(back)[1:-1], vol[1:-1], atol=0.05)
+
+
+def test_dense_channel_seq_matches_default(rng, monkeypatch):
+    """The memory-lean channel-sequential dense path (used above
+    DENSE_CHANNEL_SEQ_VOX, e.g. the 512^3 config-3 bench) equals the
+    all-at-once splat path."""
+    from sift3d_tpu.features import dense as dense_mod
+    from sift3d_tpu.config import SIFT3DParams
+
+    vol = make_blob_volume((18, 16, 20), seed=31)
+    units = (1.0, 1.3, 0.8)
+    want = np.asarray(dense_mod.extract_dense_descriptors(
+        jnp.asarray(vol), units, SIFT3DParams()))
+    monkeypatch.setattr(dense_mod, "DENSE_CHANNEL_SEQ_VOX", 1)
+    got = np.asarray(dense_mod.extract_dense_descriptors(
+        jnp.asarray(vol), units, SIFT3DParams()))
+    np.testing.assert_allclose(got, want, atol=2e-5)
