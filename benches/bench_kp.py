@@ -123,10 +123,12 @@ def _oracle_check(vol, kp, n):
     ours = kp.to_numpy()
     assert len(rows_c) == len(ours), (len(rows_c), len(ours))
     # Row-exact contract: coords/octave/scale identical, R to 1e-3
-    # (PARITY.md #19-20).
-    a = ours[np.lexsort(ours[:, :3].T)]
-    b = rows_c[np.lexsort(rows_c[:, :3].T)]
+    # (PARITY.md #19-20). Sort includes sd so co-located keypoints at
+    # different scales pair up deterministically.
+    a = ours[np.lexsort(ours[:, :5].T)]
+    b = rows_c[np.lexsort(rows_c[:, :5].T)]
     np.testing.assert_array_equal(a[:, :4], b[:, :4])
+    np.testing.assert_allclose(a[:, 4], b[:, 4], rtol=1e-12)  # sd
     np.testing.assert_allclose(a[:, 5:], b[:, 5:], atol=1e-3)
     print("bit-check: keypoint rows match the C reference",
           file=sys.stderr, flush=True)

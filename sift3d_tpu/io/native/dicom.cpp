@@ -392,7 +392,12 @@ bool jls_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
             return false;
         }
         const uint8_t *q = p + 2, *qend = p + seglen;
+        const size_t seg_avail = (size_t)(qend - q);
         if (m == 0xC3) {                      // SOF3: lossless sequential
+            if (seg_avail < 9) {
+                set_err("%s: truncated JPEG SOF segment", path);
+                return false;
+            }
             P = q[0];
             h = u16be(q + 1);
             w = u16be(q + 3);
@@ -419,8 +424,16 @@ bool jls_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
                 q += 17 + nv;
             }
         } else if (m == 0xDD) {               // DRI
+            if (seg_avail < 2) {
+                set_err("%s: truncated JPEG DRI segment", path);
+                return false;
+            }
             ri = u16be(q);
         } else if (m == 0xDA) {               // SOS
+            if (seg_avail < 6) {
+                set_err("%s: truncated JPEG SOS segment", path);
+                return false;
+            }
             int ns = q[0];
             if (ns != 1) {
                 set_err("%s: multi-component JPEG scan unsupported", path);
@@ -574,7 +587,12 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
             return false;
         }
         const uint8_t *q = p + 2, *qend = p + seglen;
+        const size_t seg_avail = (size_t)(qend - q);
         if (m == 0xC0 || m == 0xC1) {            // SOF0 / SOF1
+            if (seg_avail < 9) {
+                set_err("%s: truncated JPEG SOF segment", path);
+                return false;
+            }
             P = q[0];
             h = u16be(q + 1);
             w = u16be(q + 3);
@@ -604,14 +622,26 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
             while (q < qend) {
                 int pq = q[0] >> 4, tq = q[0] & 15;
                 q++;
+                if (tq > 3 || qend - q < (pq ? 128 : 64)) {
+                    set_err("%s: truncated JPEG DQT segment", path);
+                    return false;
+                }
                 for (int i = 0; i < 64; i++) {
                     if (pq) { qt[tq][i] = (uint16_t)u16be(q); q += 2; }
                     else qt[tq][i] = *q++;
                 }
             }
         } else if (m == 0xDD) {
+            if (seg_avail < 2) {
+                set_err("%s: truncated JPEG DRI segment", path);
+                return false;
+            }
             ri = u16be(q);
         } else if (m == 0xDA) {                  // SOS
+            if (seg_avail < 6) {
+                set_err("%s: truncated JPEG SOS segment", path);
+                return false;
+            }
             comp_dc = q[2] >> 4;
             comp_ac = q[2] & 15;
             scan = qend;
@@ -804,9 +834,8 @@ int decode_encapsulated(DcmFile &f, const char *path) {
         }
         size_t k = 0;
         for (int fr = 0; fr < nf; fr++) {
-            size_t first = k;
             while (k < frag_n && starts[k] < f.bot[fr]) k++;
-            first = k;
+            const size_t first = k;
             uint32_t next = fr + 1 < nf ? f.bot[fr + 1] : 0xFFFFFFFFu;
             size_t last = first;
             while (last < frag_n && starts[last] < next) last++;
@@ -836,6 +865,10 @@ int decode_encapsulated(DcmFile &f, const char *path) {
                          samples, &P, path);
         if (!ok)
             return S3D_UNSUPPORTED_FILE_TYPE;
+        if (P > 8 && bytes_per == 1) {
+            set_err("%s: JPEG precision exceeds BitsAllocated=8", path);
+            return S3D_FAILURE;
+        }
         uint8_t *dst = f.pixel_data.data() + frame_px * bytes_per * fr;
         for (size_t i = 0; i < frame_px; i++) {
             if (bytes_per == 1) dst[i] = (uint8_t)samples[i];

@@ -127,9 +127,10 @@ def groupwise_solve(edges_ij: np.ndarray, src_pts: jax.Array,
 
     Returns GroupwiseResult with A[0] = I.
     """
-    if isinstance(edges_ij, np.ndarray) and \
-            (edges_ij[:, 0] == edges_ij[:, 1]).any():
-        raise ValueError("self-edge in edges_ij")
+    if not isinstance(edges_ij, jax.core.Tracer):
+        e_np = np.asarray(edges_ij)
+        if (e_np[:, 0] == e_np[:, 1]).any():
+            raise ValueError("self-edge in edges_ij")
     E = len(edges_ij)
 
     # Per-edge RANSAC for inlier masks (batched over edges).

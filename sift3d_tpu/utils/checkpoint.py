@@ -99,7 +99,9 @@ class GroupwiseCheckpoint:
     def put(self, i: int, j: int, src_pts, ref_pts, count: int) -> None:
         n = int(count)
         p = self._path(i, j)
-        tmp = p.with_suffix(".tmp.npz")
+        # Temp name must NOT match the edge_*.npz glob, or a preemption
+        # mid-write would crash (or corrupt) the resume scan below.
+        tmp = self.dir / f".tmp_{p.name}"
         np.savez_compressed(tmp, src=np.asarray(src_pts)[:n],
                             ref=np.asarray(ref_pts)[:n])
         os.replace(tmp, p)
@@ -111,8 +113,11 @@ class GroupwiseCheckpoint:
     def edges(self) -> list[tuple[int, int]]:
         out = []
         for p in sorted(self.dir.glob("edge_*.npz")):
-            _, i, j = p.stem.split("_")
-            out.append((int(i), int(j)))
+            parts = p.stem.split("_")
+            if len(parts) != 3 or not (parts[1].isdigit() and
+                                       parts[2].isdigit()):
+                continue             # stray file, not an edge record
+            out.append((int(parts[1]), int(parts[2])))
         return out
 
     def gather(self, edges_ij, capacity: int | None = None):
