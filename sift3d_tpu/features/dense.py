@@ -46,29 +46,25 @@ def smooth_scale_raw_input(vol: jax.Array,
     return im_scale(conv.conv_sep(vol.astype(jnp.float32), taps, 1.0, units))
 
 
+def _interior_grad_bin(smooth: jax.Array, units):
+    """Per-voxel unit-corrected gradient at interior voxels [1, n-2]
+    only (sift.c:2442-2447), icosahedrally binned. Returns
+    (face, bary, ok) with boundary voxels masked out of ``ok``."""
+    from .windows import window_gradients
+
+    gi = window_gradients(smooth, units)        # core = interior voxels
+    grad = jnp.zeros(smooth.shape + (3,), jnp.float32)
+    for a, g in enumerate(gi):
+        grad = grad.at[1:-1, 1:-1, 1:-1, a].set(g)
+    interior = jnp.zeros(smooth.shape, bool).at[1:-1, 1:-1, 1:-1].set(True)
+    face, bary, ok = icos_hist_bin(grad)
+    return face, bary, ok & interior
+
+
 def _bary_splat(smooth: jax.Array,
                 units: tuple[float, float, float]) -> jax.Array:
     """(12, nz, ny, nx) barycentric vertex weights per voxel."""
-    nz, ny, nx = smooth.shape
-    ux, uy, uz = (np.float32(u) for u in units)
-    gx = jnp.zeros_like(smooth)
-    gy = jnp.zeros_like(smooth)
-    gz = jnp.zeros_like(smooth)
-    # Interior voxels [1, n-2] only (sift.c:2442-2447).
-    gx = gx.at[1:-1, 1:-1, 1:-1].set(
-        jnp.float32(0.5) * (smooth[1:-1, 1:-1, 2:] - smooth[1:-1, 1:-1, :-2])
-        * (np.float32(1.0) / ux))
-    gy = gy.at[1:-1, 1:-1, 1:-1].set(
-        jnp.float32(0.5) * (smooth[1:-1, 2:, 1:-1] - smooth[1:-1, :-2, 1:-1])
-        * (np.float32(1.0) / uy))
-    gz = gz.at[1:-1, 1:-1, 1:-1].set(
-        jnp.float32(0.5) * (smooth[2:, 1:-1, 1:-1] - smooth[:-2, 1:-1, 1:-1])
-        * (np.float32(1.0) / uz))
-    interior = jnp.zeros(smooth.shape, bool).at[1:-1, 1:-1, 1:-1].set(True)
-
-    grad = jnp.stack([gx, gy, gz], -1)                      # (z, y, x, 3)
-    face, bary, ok = icos_hist_bin(grad)
-    ok = ok & interior
+    face, bary, ok = _interior_grad_bin(smooth, units)
     w = vertex_weights(face, bary)                           # (z, y, x, 12)
     w = w * ok[..., None].astype(jnp.float32)
     return jnp.moveaxis(w, -1, 0)                            # (12, z, y, x)
@@ -96,7 +92,7 @@ def _dense_hist_window(smooth, center_zyx, R, radii, cores, units,
     sphere window of radius ``rad`` (mm), unit-corrected gradients
     rotated by R^T for binning, magnitude x Gaussian weight accumulated
     into the face's 3 vertex bins."""
-    from .windows import gather_window
+    from .windows import gather_window, window_gradients
 
     ux, uy, uz = (np.float32(u) for u in units)
     bz, by, bx = (center_zyx[i].astype(jnp.int32) for i in range(3))
@@ -113,12 +109,7 @@ def _dense_hist_window(smooth, center_zyx, R, radii, cores, units,
     rad32 = jnp.float32(rad)
     mask = sq <= rad32 * rad32
 
-    gx = jnp.float32(0.5) * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) \
-        * (np.float32(1.0) / ux)
-    gy = jnp.float32(0.5) * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) \
-        * (np.float32(1.0) / uy)
-    gz = jnp.float32(0.5) * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) \
-        * (np.float32(1.0) / uz)
+    gx, gy, gz = window_gradients(win, units)
     sig32 = jnp.float32(sigma)
     w = jnp.exp(jnp.float32(-0.5) * sq / (sig32 * sig32))
 
@@ -199,22 +190,7 @@ def _splat_compact(smooth: jax.Array, units) -> tuple[jax.Array, jax.Array]:
     20-channel binning transient)."""
     from ..ops.geometry import face_tables
 
-    nz, ny, nx = smooth.shape
-    ux, uy, uz = (np.float32(u) for u in units)
-    z = jnp.zeros_like(smooth)
-    gx = z.at[1:-1, 1:-1, 1:-1].set(
-        jnp.float32(0.5) * (smooth[1:-1, 1:-1, 2:] - smooth[1:-1, 1:-1, :-2])
-        * (np.float32(1.0) / ux))
-    gy = z.at[1:-1, 1:-1, 1:-1].set(
-        jnp.float32(0.5) * (smooth[1:-1, 2:, 1:-1] - smooth[1:-1, :-2, 1:-1])
-        * (np.float32(1.0) / uy))
-    gz = z.at[1:-1, 1:-1, 1:-1].set(
-        jnp.float32(0.5) * (smooth[2:, 1:-1, 1:-1] - smooth[:-2, 1:-1, 1:-1])
-        * (np.float32(1.0) / uz))
-    interior = jnp.zeros(smooth.shape, bool).at[1:-1, 1:-1, 1:-1].set(True)
-    grad = jnp.stack([gx, gy, gz], -1)
-    face, bary, ok = icos_hist_bin(grad)
-    ok = ok & interior
+    face, bary, ok = _interior_grad_bin(smooth, units)
     idx = np.asarray(face_tables()["idx"], np.int32)         # (20, 3)
     # vt_j = idx[face, j] via 20-way select (gather-free).
     vt = []

@@ -34,7 +34,7 @@ from ..config import (DESC_NUM_TOTAL_HIST, DESC_NUMEL, DESC_RAD_FCTR,
 from ..dtypes import f64
 from ..ops.geometry import icos_hist_bin, vertex_weights
 from .keypoints import Keypoints
-from .windows import gather_window, window_extent
+from .windows import gather_window, window_extent, window_gradients
 
 _DBL_EPSILON = 2.220446049250313e-16
 
@@ -113,12 +113,7 @@ def _descrip_window(level, center_zyx, R, radii, cores, units, sigma, rad):
               (vbx < nh) & (vby < nh) & (vbz < nh))
 
     # Unit-corrected gradient, Gaussian-weighted, rotated to keypoint frame
-    gx = jnp.float32(0.5) * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) \
-        * (np.float32(1.0) / ux)
-    gy = jnp.float32(0.5) * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) \
-        * (np.float32(1.0) / uy)
-    gz = jnp.float32(0.5) * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) \
-        * (np.float32(1.0) / uz)
+    gx, gy, gz = window_gradients(win, units)
     weight = jnp.exp(jnp.float32(-0.5) * sq_dist / (sig32 * sig32))
     gx = gx * weight; gy = gy * weight; gz = gz * weight
     grx = Rt[0, 0] * gx + Rt[0, 1] * gy + Rt[0, 2] * gz

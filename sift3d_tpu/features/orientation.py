@@ -34,7 +34,7 @@ import numpy as np
 from ..config import MAX_EIG_RATIO, ORI_GRAD_THRESH, ORI_SIG_FCTR, ORI_RAD_FCTR
 from ..dtypes import f64
 from ..ops.eig import eigh3x3
-from .windows import gather_window, window_extent
+from .windows import gather_window, window_extent, window_gradients
 
 
 def window_radii(rad: float, units: tuple[float, float, float],
@@ -71,14 +71,7 @@ def _window_terms(level, zyx, radii, cores, units, rad, sigma):
     rad32 = jnp.float32(rad)
     mask = in_box & (sq_dist <= rad32 * rad32)
 
-    # Central-difference gradient with physical-unit correction
-    # (IM_GET_GRAD_ISO: 0.5f*(I[+1]-I[-1]) * (1.0f/u)).
-    gx = jnp.float32(0.5) * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) \
-        * (np.float32(1.0) / ux)
-    gy = jnp.float32(0.5) * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) \
-        * (np.float32(1.0) / uy)
-    gz = jnp.float32(0.5) * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) \
-        * (np.float32(1.0) / uz)
+    gx, gy, gz = window_gradients(win, units)
 
     sig32 = jnp.float32(sigma)
     w = jnp.exp(jnp.float32(-0.5) * sq_dist / (sig32 * sig32))

@@ -13,6 +13,22 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def window_gradients(win: jax.Array, units):
+    """Unit-corrected central differences over a gathered window's core:
+    0.5 * (I[+1] - I[-1]) / u per axis (IM_GET_GRAD_ISO, reference
+    immacros.h:150-155). ``win`` is a core-plus-1-halo (cz+2, cy+2, cx+2)
+    window (z, y, x order); returns (gx, gy, gz) over the core."""
+    inv = [np.float32(1.0) / np.float32(u) for u in units]  # (ux, uy, uz)
+    gx = jnp.float32(0.5) * (win[1:-1, 1:-1, 2:] -
+                             win[1:-1, 1:-1, :-2]) * inv[0]
+    gy = jnp.float32(0.5) * (win[1:-1, 2:, 1:-1] -
+                             win[1:-1, :-2, 1:-1]) * inv[1]
+    gz = jnp.float32(0.5) * (win[2:, 1:-1, 1:-1] -
+                             win[:-2, 1:-1, 1:-1]) * inv[2]
+    return gx, gy, gz
 
 
 def window_extent(R: int, n: int, center_integral: bool) -> int:

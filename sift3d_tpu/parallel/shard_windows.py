@@ -33,7 +33,8 @@ from ..config import (DESC_NUM_TOTAL_HIST, DESC_NUMEL, DESC_RAD_FCTR,
 from ..dtypes import f64
 from ..features.descriptor import postprocess
 from ..features.orientation import (orientations_from_tensor, window_radii)
-from ..features.windows import window_extent, window_start
+from ..features.windows import (window_extent, window_gradients,
+                                window_start)
 from ..ops.geometry import icos_hist_bin, vertex_weights
 from .shard_conv import shard_halo
 
@@ -43,17 +44,6 @@ def _local_window(block_ext, sy, sx, cy, cx):
     return jax.lax.dynamic_slice(
         block_ext, (0, sy - 1, sx - 1),
         (block_ext.shape[0], cy + 2, cx + 2))
-
-
-def _grad(win, inv_u):
-    """Unit-corrected central differences over the core voxels."""
-    gx = jnp.float32(0.5) * (win[1:-1, 1:-1, 2:] - win[1:-1, 1:-1, :-2]) \
-        * inv_u[0]
-    gy = jnp.float32(0.5) * (win[1:-1, 2:, 1:-1] - win[1:-1, :-2, 1:-1]) \
-        * inv_u[1]
-    gz = jnp.float32(0.5) * (win[2:, 1:-1, 1:-1] - win[:-2, 1:-1, 1:-1]) \
-        * inv_u[2]
-    return gx, gy, gz
 
 
 def orient_level_z_sharded(level: jax.Array, zyx: jax.Array, sd: float,
@@ -77,7 +67,6 @@ def orient_level_z_sharded(level: jax.Array, zyx: jax.Array, sd: float,
     cy = window_extent(Ry, ny, True)
     cx = window_extent(Rx, nx, True)
     ux, uy, uz = (np.float32(u) for u in units)
-    inv_u = (np.float32(1) / ux, np.float32(1) / uy, np.float32(1) / uz)
     n_sh = mesh.shape[axis_name]
     S = nz // n_sh
     assert S * n_sh == nz, (nz, n_sh)
@@ -105,7 +94,7 @@ def orient_level_z_sharded(level: jax.Array, zyx: jax.Array, sd: float,
             ddz = (zg - row[0]).astype(jnp.float32) * uz
             sq = ddx * ddx + ddy * ddy + ddz * ddz
             mask = owned & in_box & (sq <= jnp.float32(rad) ** 2)
-            gx, gy, gz = _grad(win, inv_u)
+            gx, gy, gz = window_gradients(win, units)
             w = jnp.exp(jnp.float32(-0.5) * sq /
                         jnp.float32(sigma) ** 2)
             w = jnp.where(mask, w, jnp.float32(0))
@@ -157,7 +146,6 @@ def descrip_level_z_sharded(level: jax.Array, centers_zyx: jax.Array,
     cy = window_extent(Ry, ny, False)
     cx = window_extent(Rx, nx, False)
     ux, uy, uz = (np.float32(u) for u in units)
-    inv_u = (np.float32(1) / ux, np.float32(1) / uy, np.float32(1) / uz)
     n_sh = mesh.shape[axis_name]
     S = nz // n_sh
     assert S * n_sh == nz, (nz, n_sh)
@@ -202,7 +190,7 @@ def descrip_level_z_sharded(level: jax.Array, centers_zyx: jax.Array,
             inside = ((vbx >= 0) & (vby >= 0) & (vbz >= 0) &
                       (vbx < nh) & (vby < nh) & (vbz < nh))
 
-            gx, gy, gz = _grad(win, inv_u)
+            gx, gy, gz = window_gradients(win, units)
             weight = jnp.exp(jnp.float32(-0.5) * sq /
                              (jnp.float32(sigma) ** 2))
             gx = gx * weight; gy = gy * weight; gz = gz * weight
