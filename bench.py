@@ -28,7 +28,7 @@ roofline/diagnostic lines go to stderr.
 
 Baseline: the reference C implementation (bbrister/SIFT3D v1.4.6, -O3,
 OpenMP, this host) on the first 16 of the SAME pairs via the test
-oracle: 0.138 pairs/s, 87.5% gate pass (benches/calibrate_bench_gate.py,
+oracle: 0.313 pairs/s, 87.5% gate pass (benches/calibrate_bench_gate.py,
 2026-08-17; see BASELINE.md). The reference publishes no numbers of its
 own. The per-volume keypoint pipeline benchmark (config 2) lives in
 benches/bench_kp.py.
@@ -45,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from benches.data import SHIFT, make_pairs, pair_ok  # noqa: E402
 
-BASELINE_PAIRS_PER_S = 0.138   # C reference, this host (BASELINE.md r3)
+BASELINE_PAIRS_PER_S = 0.313   # C reference, this host (BASELINE.md r3)
 
 B = 64
 SHAPE = (64, 64, 64)

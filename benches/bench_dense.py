@@ -28,9 +28,9 @@ sys.path.insert(0, _REPO)
 
 BASELINES = {
     # C reference v1.4.6 dense path, this host single core, measured via
-    # tests/oracle --check runs (BASELINE.md round 3).
-    128: None,
-    512: None,
+    # tests/oracle (BASELINE.md round 3).
+    128: 6.516e4,   # 32.18 s
+    512: None,      # filled once the ~35-min C run lands in BASELINE.md
 }
 
 

@@ -34,7 +34,7 @@ sys.path.insert(0, _REPO)
 
 BASELINES = {
     128: 2.32e5,    # measured round 1 (BASELINE.md)
-    256: 2.48e5,    # measured round 3 via --check (BASELINE.md)
+    256: 2.046e5,   # measured round 3 (81.99 s, 146 kp; BASELINE.md)
 }
 
 
