@@ -128,7 +128,8 @@ def _oracle_check(vol, kp, n):
     a = ours[np.lexsort(ours[:, :5].T)]
     b = rows_c[np.lexsort(rows_c[:, :5].T)]
     np.testing.assert_array_equal(a[:, :4], b[:, :4])
-    np.testing.assert_allclose(a[:, 4], b[:, 4], rtol=1e-12)  # sd
+    # sd is stored f32 on our side (x64 off) vs the oracle's double
+    np.testing.assert_allclose(a[:, 4], b[:, 4], rtol=1e-6)
     np.testing.assert_allclose(a[:, 5:], b[:, 5:], atol=1e-3)
     print("bit-check: keypoint rows match the C reference",
           file=sys.stderr, flush=True)
