@@ -186,8 +186,8 @@ DENSE_CHANNEL_SEQ_VOX = 1 << 25
 
 def _splat_compact(smooth: jax.Array, units) -> tuple[jax.Array, jax.Array]:
     """Per-voxel (3,) vertex ids + (3,) barycentric weights - the compact
-    form of the 12-channel splat: 16 B/voxel instead of 48 (plus the
-    20-channel binning transient)."""
+    form of the 12-channel splat: 24 B/voxel (3 i32 + 3 f32) instead of
+    48 (plus the 80 B/voxel 20-channel binning transient)."""
     from ..ops.geometry import face_tables
 
     face, bary, ok = _interior_grad_bin(smooth, units)

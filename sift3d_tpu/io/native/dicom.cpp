@@ -440,6 +440,10 @@ bool jls_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
                 return false;
             }
             tbl_id = q[2] >> 4;
+            if (tbl_id > 3) {
+                set_err("%s: JPEG table selector out of range", path);
+                return false;
+            }
             pred_sel = q[1 + 2 * ns];         // Ss = predictor selection
             pt = q[3 + 2 * ns] & 15;          // Al = point transform
             scan = qend;
@@ -447,8 +451,12 @@ bool jls_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
         }
         p = qend;
     }
-    if (!scan || !P || w <= 0 || h <= 0) {
+    if (!scan || w <= 0 || h <= 0) {
         set_err("%s: JPEG stream missing SOF3/SOS", path);
+        return false;
+    }
+    if (P < 2 || P > 16) {
+        set_err("%s: lossless JPEG precision out of range", path);
         return false;
     }
     if (w != want_w || h != want_h) {
@@ -571,7 +579,9 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
     p += 2;
     HuffTable dc_tab[4], ac_tab[4];
     uint16_t qt[4][64] = {};
+    bool have_qt[4] = {};
     int P = 0, w = 0, h = 0, ri = 0;
+    int sof = 0;
     int comp_dc = 0, comp_ac = 0, comp_q = 0;
     const uint8_t *scan = nullptr;
 
@@ -593,6 +603,7 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
                 set_err("%s: truncated JPEG SOF segment", path);
                 return false;
             }
+            sof = m;
             P = q[0];
             h = u16be(q + 1);
             w = u16be(q + 3);
@@ -602,6 +613,11 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
                 return false;
             }
             comp_q = q[8] & 15;
+            if (comp_q > 3) {
+                set_err("%s: JPEG quant-table selector out of range",
+                        path);
+                return false;
+            }
             if ((q[7] >> 4) != 1 || (q[7] & 15) != 1) {
                 set_err("%s: JPEG subsampling unsupported", path);
                 return false;
@@ -630,6 +646,7 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
                     if (pq) { qt[tq][i] = (uint16_t)u16be(q); q += 2; }
                     else qt[tq][i] = *q++;
                 }
+                have_qt[tq] = true;
             }
         } else if (m == 0xDD) {
             if (seg_avail < 2) {
@@ -642,8 +659,17 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
                 set_err("%s: truncated JPEG SOS segment", path);
                 return false;
             }
+            if (q[0] != 1) {
+                set_err("%s: multi-component JPEG scan unsupported",
+                        path);
+                return false;
+            }
             comp_dc = q[2] >> 4;
             comp_ac = q[2] & 15;
+            if (comp_dc > 3 || comp_ac > 3) {
+                set_err("%s: JPEG table selector out of range", path);
+                return false;
+            }
             scan = qend;
             break;
         } else if (m == 0xC3 || (m >= 0xC5 && m <= 0xCF && m != 0xC8 &&
@@ -653,8 +679,21 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
         }
         p = qend;
     }
-    if (!scan || !P || w <= 0 || h <= 0) {
+    if (!scan || !sof || w <= 0 || h <= 0) {
         set_err("%s: JPEG stream missing SOF0/SOF1/SOS", path);
+        return false;
+    }
+    // T.81 precision limits: Baseline (SOF0) is 8-bit; Extended (SOF1)
+    // allows 8 or 12.
+    if ((sof == 0xC0 && P != 8) ||
+        (sof == 0xC1 && P != 8 && P != 12)) {
+        set_err("%s: invalid JPEG sample precision for this process",
+                path);
+        return false;
+    }
+    if (!have_qt[comp_q]) {
+        set_err("%s: JPEG scan references an undefined quantization "
+                "table", path);
         return false;
     }
     if (w != want_w || h != want_h) {
@@ -684,11 +723,13 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
             }
             double blk[64] = {0};
             int t = br.decode(dc_tab[comp_dc]);
-            if (t > 16 || br.bad) {
+            // DCT DC categories stop at 11 (8-bit) / 15 (12-bit); the
+            // lossless-only category-16 convention is invalid here.
+            if (t > (P == 8 ? 11 : 15) || br.bad) {
                 set_err("%s: corrupt JPEG DC code", path);
                 return false;
             }
-            dc_pred += jls_extend(br.bits(t >= 16 ? 0 : t), t);
+            dc_pred += jls_extend(br.bits(t), t);
             blk[0] = (double)dc_pred * qt[comp_q][0];
             for (int k = 1; k < 64;) {
                 int rs = br.decode(ac_tab[comp_ac]);

@@ -763,3 +763,44 @@ def test_jpeg_baseline_quantized_lossy(tmp_path, rng):
     back = dicom.read_dcm(path)
     np.testing.assert_allclose(back.data[0], pix.astype(np.float32),
                                atol=10.0)
+
+
+def test_jpeg_malformed_streams_rejected(tmp_path, rng):
+    """Crafted malformed DCT streams must error, not decode garbage:
+    out-of-range table selectors, missing DQT, invalid precision."""
+    y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    pix = (120 + 40 * np.sin(y / 5.0) * np.cos(x / 4.0)).astype(np.uint16)
+    good = _py_jdct_encode(pix, P=8)
+
+    def write_patched(name, stream):
+        path = str(tmp_path / name)
+        _write_jls_file(path, [stream], *pix.shape, bits=8)
+        raw = open(path, "rb").read().replace(b"1.2.840.10008.1.2.4.70",
+                                              b"1.2.840.10008.1.2.4.50")
+        open(path, "wb").write(raw)
+        return path
+
+    # Sanity: the unpatched stream decodes.
+    dicom.read_dcm(write_patched("ok.dcm", good))
+
+    # SOS Td/Ta selector 14/14 (indexes beyond the 4 table slots).
+    sos = good.index(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos + 2 + 2 + 1 + 1] = 0xEE        # len(2) + Ns(1) + Cs(1) -> Td/Ta
+    with pytest.raises(Exception, match="selector|corrupt|Huffman"):
+        dicom.read_dcm(write_patched("sel.dcm", bytes(bad)))
+
+    # DQT stripped: scan references an undefined quantization table.
+    dqt = good.index(b"\xff\xdb")
+    import struct
+    dqt_len = struct.unpack(">H", good[dqt + 2:dqt + 4])[0]
+    no_dqt = good[:dqt] + good[dqt + 2 + dqt_len:]
+    with pytest.raises(Exception, match="quantization"):
+        dicom.read_dcm(write_patched("noq.dcm", no_dqt))
+
+    # SOF precision byte patched to 200.
+    sof = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof + 4] = 200
+    with pytest.raises(Exception, match="precision"):
+        dicom.read_dcm(write_patched("p200.dcm", bytes(bad)))
