@@ -30,7 +30,7 @@ BASELINES = {
     # C reference v1.4.6 dense path, this host single core, measured via
     # tests/oracle (BASELINE.md round 3).
     128: 6.516e4,   # 32.18 s
-    512: None,      # filled once the ~35-min C run lands in BASELINE.md
+    512: 4.318e4,   # 3108.63 s (BASELINE.md round 3)
 }
 
 
