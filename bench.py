@@ -47,7 +47,7 @@ from benches.data import SHIFT, make_pairs, pair_ok  # noqa: E402
 
 BASELINE_PAIRS_PER_S = 0.313   # C reference, this host (BASELINE.md r3)
 
-B = 64
+B = int(os.environ.get("SIFT3D_BENCH_B", "64"))   # override for smoke runs
 SHAPE = (64, 64, 64)
 
 
