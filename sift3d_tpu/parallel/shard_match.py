@@ -105,3 +105,104 @@ def nn_match_sharded(d1: jax.Array, d2: jax.Array, nn_thresh: float,
         out_specs=P(None),
         check_vma=False,   # result is replicated by the all_gathers
     )(d1, d2, valid1, valid2)
+
+
+def _merge_top2(best, second, idx, nb, ns, ni):
+    """Merge two per-row (best, second, idx) candidate sets."""
+    cand = jnp.stack([best, second, nb, ns], -1)         # (n, 4)
+    cidx = jnp.stack([idx, jnp.zeros_like(idx),
+                      ni, jnp.zeros_like(ni)], -1)
+    neg, pos = jax.lax.top_k(-cand, 2)
+    return (-neg[:, 0], -neg[:, 1],
+            jnp.take_along_axis(cidx, pos[:, :1], 1)[:, 0])
+
+
+def nn_match_ring(d1: jax.Array, d2: jax.Array, nn_thresh: float,
+                  mesh: Mesh, axis_name: str = "space",
+                  valid1: jax.Array | None = None,
+                  valid2: jax.Array | None = None,
+                  dtype=jnp.float32) -> jax.Array:
+    """Fully-sharded matching: BOTH descriptor sets sharded over the
+    axis; d2 blocks rotate around the ring via ``ppermute`` (the
+    ring-attention score-pass analog, SURVEY §5.7) so no shard ever
+    holds more than (N1 + N2)/S descriptor rows - unlike
+    :func:`nn_match_sharded`, which replicates d1.
+
+    Each ring step computes one (N1/S, N2/S) MXU distance block, folds
+    it into the local d1 rows' running forward top-2 (with global d2
+    indices), and folds the transposed reduction into a backward top-2
+    state that TRAVELS with the d2 block, so after S steps every d2 row
+    has seen every d1 row. The small per-row (value, index) backward
+    state is all_gathered once for the forward-backward consistency
+    check (sift.c:2881-2884); ties across shards may resolve to a
+    different index than the reference's scan order (same caveat as
+    nn_match_sharded).
+
+    Args:
+      d1: (N1, 768); d2: (N2, 768); both N1 and N2 divisible by the
+        axis size.
+    Returns (N1,) int32 matches (replicated).
+    """
+    n1, n2 = d1.shape[0], d2.shape[0]
+    n_sh = mesh.shape[axis_name]
+    assert n1 % n_sh == 0 and n2 % n_sh == 0, (n1, n2, n_sh)
+    n1_loc, n2_loc = n1 // n_sh, n2 // n_sh
+    if valid1 is None:
+        valid1 = jnp.ones((n1,), bool)
+    if valid2 is None:
+        valid2 = jnp.ones((n2,), bool)
+    perm = [(i, (i + 1) % n_sh) for i in range(n_sh)]
+
+    def local(d1_blk, d2_blk, v1_blk, v2_blk):
+        s = jax.lax.axis_index(axis_name)
+        inf = jnp.asarray(jnp.inf, dtype)
+
+        fwd0 = (jnp.full((n1_loc,), jnp.inf, dtype),
+                jnp.full((n1_loc,), jnp.inf, dtype),
+                jnp.zeros((n1_loc,), jnp.int32))
+        bwd0 = (jnp.full((n2_loc,), jnp.inf, dtype),
+                jnp.full((n2_loc,), jnp.inf, dtype),
+                jnp.zeros((n2_loc,), jnp.int32))
+
+        def step(t, carry):
+            (fb, fs, fi), (bb, bs, bi), blk, vblk = carry
+            origin = (s - t) % n_sh          # shard that owns this block
+            D = ssd_matrix(d1_blk, blk, dtype)
+            D = jnp.where(vblk[None, :], D, inf)
+            D = jnp.where(v1_blk[:, None], D, inf)
+            li, lb, ls = _top2_min(D, axis=1)
+            fwd = _merge_top2(fb, fs, fi, lb, ls,
+                              li + origin * n2_loc)
+            ti, tb, ts = _top2_min(D, axis=0)
+            bwd = _merge_top2(bb, bs, bi, tb, ts,
+                              ti + s * n1_loc)
+            # The d2 block and its accumulated backward state move on.
+            blk = jax.lax.ppermute(blk, axis_name, perm)
+            vblk = jax.lax.ppermute(vblk, axis_name, perm)
+            bwd = tuple(jax.lax.ppermute(x, axis_name, perm)
+                        for x in bwd)
+            return fwd, bwd, blk, vblk
+
+        (fb, fs, fi), (bb, bs, bi), _, _ = jax.lax.fori_loop(
+            0, n_sh, step, (fwd0, bwd0, d2_blk, v2_blk))
+        # After n_sh steps (each ending in a permute) every block - and
+        # its backward state - is back at its owner.
+        fwd_ok = _ratio_accept(fb, fs, nn_thresh)
+        bwd_ok_l = _ratio_accept(bb, bs, nn_thresh)
+
+        bwd_idx = jax.lax.all_gather(bi, axis_name).reshape(n2)
+        bwd_ok = jax.lax.all_gather(bwd_ok_l, axis_name).reshape(n2)
+        rows = s * n1_loc + jnp.arange(n1_loc, dtype=jnp.int32)
+        consistent = (bwd_idx[fi] == rows) & bwd_ok[fi]
+        any_v2 = jnp.any(jax.lax.all_gather(jnp.any(v2_blk), axis_name))
+        ok = fwd_ok & consistent & v1_blk & any_v2
+        out_l = jnp.where(ok, fi, -1).astype(jnp.int32)
+        return jax.lax.all_gather(out_l, axis_name).reshape(n1)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name),
+                  P(axis_name)),
+        out_specs=P(None),
+        check_vma=False,   # result is replicated by the final all_gather
+    )(d1, d2, valid1, valid2)

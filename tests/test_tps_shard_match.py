@@ -107,3 +107,38 @@ def test_nn_match_sharded_streamed(rng):
     got = np.asarray(nn_match_sharded(jnp.asarray(d1), jnp.asarray(d2),
                                       0.8, mesh, streamed=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_nn_match_ring_matches_local(rng):
+    """Ring-pass matcher (both sides sharded, ppermute rotation) equals
+    the single-device matcher."""
+    from sift3d_tpu.parallel.shard_match import nn_match_ring
+
+    d1 = _descriptors(rng, 96)
+    d2 = _descriptors(rng, 128)
+    for i in range(30):
+        d2[i + 7] = d1[i] + rng.normal(0, 0.004, 768).astype(np.float32)
+        d2[i + 7] /= np.linalg.norm(d2[i + 7])
+    want = np.asarray(nn_match(jnp.asarray(d1), jnp.asarray(d2), 0.8))
+    mesh = make_mesh(jax.devices()[:4], data=1, space=4)
+    got = np.asarray(nn_match_ring(jnp.asarray(d1), jnp.asarray(d2),
+                                   0.8, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nn_match_ring_with_padding(rng):
+    from sift3d_tpu.parallel.shard_match import nn_match_ring
+
+    d1 = _descriptors(rng, 64)
+    d2 = _descriptors(rng, 96)
+    for i in range(20):
+        d2[i] = d1[i] + rng.normal(0, 0.004, 768).astype(np.float32)
+        d2[i] /= np.linalg.norm(d2[i])
+    v1 = jnp.arange(64) < 50
+    v2 = jnp.arange(96) < 80
+    want = np.asarray(nn_match(jnp.asarray(d1), jnp.asarray(d2), 0.8,
+                               valid1=v1, valid2=v2))
+    mesh = make_mesh(jax.devices()[:8], data=2, space=4)
+    got = np.asarray(nn_match_ring(jnp.asarray(d1), jnp.asarray(d2),
+                                   0.8, mesh, valid1=v1, valid2=v2))
+    np.testing.assert_array_equal(got, want)
