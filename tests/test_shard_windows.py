@@ -50,7 +50,7 @@ def test_orient_z_sharded_equals_single(rng):
 def test_descrip_z_sharded_equals_single(rng):
     levels, kp = _levels_and_kp(rng)
     B, K = kp.shape[:2]
-    sd, units = 1.6, (1.0, 1.0, 1.0)
+    sd, units = 1.6, (1.0, 1.3, 0.8)   # anisotropic
     centers = kp.astype(np.float32) + rng.uniform(-0.4, 0.4, kp.shape
                                                   ).astype(np.float32)
     Q = np.stack([[np.linalg.qr(rng.standard_normal((3, 3)))[0]
