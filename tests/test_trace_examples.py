@@ -55,3 +55,31 @@ def test_example_io(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "dims (x, y, z): (8, 8, 8)" in r.stdout
     assert os.path.exists(out)
+
+
+def test_roofline_report():
+    """Roofline accounting: costs scale with the plan and the report
+    computes achieved-vs-peak percentages."""
+    from sift3d_tpu import pyramid as pyr_mod
+    from sift3d_tpu.config import SIFT3DParams
+    from sift3d_tpu.utils import roofline
+
+    plan = pyr_mod.plan_pyramid((64, 64, 64), (1.0, 1.0, 1.0),
+                                SIFT3DParams())
+    c = roofline.pyramid_cost(plan)
+    assert c.bytes_moved > 64 ** 3 * 4 * 6      # > 6 full-res level passes
+    assert c.flops > 0
+    big = roofline.pyramid_cost(
+        pyr_mod.plan_pyramid((128, 128, 128), (1.0, 1.0, 1.0),
+                             SIFT3DParams()))
+    assert big.bytes_moved > 6 * c.bytes_moved  # ~8x voxels
+
+    recs = roofline.roofline_report(
+        {"pyramid": 0.01}, {"pyramid": c})
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["achieved_GBps"] == round(c.bytes_moved / 0.01 / 1e9, 2)
+    assert 0 <= r["hbm_pct_peak"]
+    # match cost: flops dominated by the 2*n1*n2*768 Gram term
+    m = roofline.match_cost(100, 200)
+    assert m.flops == 2 * 100 * 200 * 768
