@@ -498,6 +498,32 @@ class RegSift3D:
             match_ref=np.asarray(res.match_ref)[:n],
             num_inliers=int(res.num_inliers), ok=bool(res.ok))
 
+    def register_tps(self, src, ref, src_units=(1.0, 1.0, 1.0),
+                     ref_units=(1.0, 1.0, 1.0), reg: float = 1e-6):
+        """Nonrigid registration: affine RANSAC outlier rejection, then
+        a thin-plate-spline fit on the inliers (register_pair_tps) - a
+        capability the reference declares but never implemented
+        (imutil.c:4504-4508). Returns (Registration, Tps | None); the
+        TPS maps ref mm coordinates to src mm coordinates (warp with
+        register.tps.im_inv_transform_tps)."""
+        from .register.pipeline import register_pair_tps
+
+        src_data, su = _as_array(src)
+        ref_data, ru = _as_array(ref)
+        src_units = tuple(su or src_units)
+        ref_units = tuple(ru or ref_units)
+        d_src = self._detect_extract(src_data, src_units)
+        d_ref = self._detect_extract(ref_data, ref_units)
+        res, tps = register_pair_tps(d_src, d_ref, src_units, ref_units,
+                                     self.match_params,
+                                     self.ransac_params, reg=reg)
+        n = int(res.num_matches)
+        return Registration(
+            A=np.asarray(res.A),
+            match_src=np.asarray(res.match_src)[:n],
+            match_ref=np.asarray(res.match_ref)[:n],
+            num_inliers=int(res.num_inliers), ok=bool(res.ok)), tps
+
 
 def warp(src, A: np.ndarray, out_shape_zyx=None,
          interp: str = "linear") -> np.ndarray:

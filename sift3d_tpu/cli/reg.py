@@ -42,8 +42,9 @@ def main(argv=None) -> int:
                    help=f"RANSAC inlier threshold (default: {rd.err_thresh})")
     p.add_argument("--num_iter", type=int, default=rd.num_iter,
                    help=f"RANSAC iterations (default: {rd.num_iter})")
-    p.add_argument("--type", default="affine", choices=["affine"],
-                   help="transformation type (default: affine)")
+    p.add_argument("--type", default="affine",
+                   choices=["affine", "tps"],
+                   help="transformation type (default: affine; tps\nexceeds the reference, whose TPS fit is unimplemented)")
     p.add_argument("--resample", action="store_true",
                    help="resample inputs to common physical resolution")
     add_sift3d_options(p)
@@ -61,7 +62,16 @@ def main(argv=None) -> int:
         match_params=MatchParams(nn_thresh=args.nn_thresh),
         ransac_params=RansacParams(err_thresh=args.err_thresh,
                                    num_iter=args.num_iter))
-    result = reg.register(src, ref, resample=args.resample)
+    tps = None
+    if args.type == "tps":
+        if args.resample:
+            p.error("--resample is not supported with --type tps")
+        result, tps = reg.register_tps(src, ref)
+        if tps is None:
+            print("regSift3D: no good model was found", file=sys.stderr)
+            return 1
+    else:
+        result = reg.register(src, ref, resample=args.resample)
     if not result.ok:
         print("regSift3D: no good model was found", file=sys.stderr)
         return 1
@@ -69,9 +79,23 @@ def main(argv=None) -> int:
     if args.matches:
         write_matches(args.matches, result.match_src, result.match_ref)
     if args.transform:
-        write_affine(args.transform, result.A)
+        if tps is not None:
+            from ..io.csv import write_tps
+            write_tps(args.transform, np.asarray(tps.params),
+                      np.asarray(tps.ctrl))
+        else:
+            write_affine(args.transform, result.A)
     if args.warped:
-        warped = warp(src, result.A, out_shape_zyx=ref.data.shape[:3])
+        if tps is not None:
+            from ..register.tps import im_inv_transform_tps
+            import jax.numpy as jnp
+            warped = np.asarray(im_inv_transform_tps(
+                tps, jnp.asarray(src.data[..., 0] if src.data.ndim == 4
+                                 else src.data),
+                out_shape_zyx=ref.data.shape[:3],
+                src_units=src.units, ref_units=ref.units))
+        else:
+            warped = warp(src, result.A, out_shape_zyx=ref.data.shape[:3])
         im_write(args.warped, Volume(warped, ref.units))
     if args.concat or args.keys or args.lines:
         drawn = draw_matches(src.data, ref.data, result.match_src,

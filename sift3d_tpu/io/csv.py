@@ -78,3 +78,30 @@ def write_matches(path: str, src_xyz: np.ndarray, ref_xyz: np.ndarray
     """Concatenated 6-column match CSV [src_xyz | ref_xyz]
     (regSift3D, cli/regSift3D.c:333-358)."""
     write_mat(path, np.concatenate([src_xyz, ref_xyz], axis=1))
+
+
+def write_tps(path: str, params: np.ndarray, ctrl: np.ndarray) -> None:
+    """Write a thin-plate-spline transform as an (n+4, 3+n_pad) CSV.
+
+    The reference never defined a TPS serialization (write_Tps is
+    unimplemented, imutil.c:2861-2868), so this format is ours: row 0 is
+    [n_ctrl, 0, ...], rows 1-3 are the (3, n_ctrl+4) params matrix, and
+    the remaining n_ctrl rows are the control points padded with zeros.
+    """
+    params = np.asarray(params)
+    ctrl = np.asarray(ctrl)
+    n = ctrl.shape[0]
+    assert params.shape == (3, n + 4), (params.shape, n)
+    cols = max(n + 4, 3)
+    out = np.zeros((1 + 3 + n, cols))
+    out[0, 0] = n
+    out[1:4, :n + 4] = params
+    out[4:, :3] = ctrl
+    write_mat(path, out)
+
+
+def read_tps(path: str):
+    """Inverse of :func:`write_tps`; returns (params (3, n+4), ctrl)."""
+    m = read_mat(path)
+    n = int(round(m[0, 0]))
+    return m[1:4, :n + 4], m[4:4 + n, :3]

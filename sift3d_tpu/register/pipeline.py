@@ -92,3 +92,50 @@ def register_pair(desc_src: Descriptors, desc_ref: Descriptors,
     return RegistrationResult(
         A=A_im, matches=matches, match_src=src_xyz, match_ref=ref_xyz,
         num_matches=n_match, num_inliers=res.num_inliers, ok=res.ok)
+
+
+def register_pair_tps(desc_src: Descriptors, desc_ref: Descriptors,
+                      src_units, ref_units,
+                      match_params: MatchParams = MatchParams(),
+                      ransac_params: RansacParams = RansacParams(),
+                      reg: float = 1e-6):
+    """Nonrigid registration: affine RANSAC for outlier rejection, then a
+    thin-plate spline fit on the inlier correspondences.
+
+    A capability the reference declares but never implemented (its
+    solve_system rejects TPS, imutil.c:4504-4508; the regSift3D CLI only
+    accepts ``--type affine``). The returned TPS maps ref mm coordinates
+    to src mm coordinates - warp with
+    :func:`..register.tps.im_inv_transform_tps`.
+
+    Host-level (not jittable): the TPS system size is the data-dependent
+    inlier count. Returns (RegistrationResult, Tps | None) - None when
+    the affine stage found no model.
+    """
+    import numpy as np
+
+    from .ransac import tform_err_sq
+    from .tps import fit_tps
+
+    res = register_pair(desc_src, desc_ref, src_units, ref_units,
+                        match_params, ransac_params)
+    if not bool(res.ok):
+        return res, None
+    # Recover the mm-space inliers of the final affine.
+    src_mm = np.asarray(im2mm(res.match_src, src_units))
+    ref_mm = np.asarray(im2mm(res.match_ref, ref_units))
+    # res.A is voxel-space; rebuild the mm affine via the unit scalings
+    # (the inverse of mm2im, reg.c:79-117).
+    ru = np.concatenate([np.asarray(ref_units, np.float64), [1.0]])
+    su = np.asarray(src_units, np.float64)
+    A_mm = np.asarray(res.A) / ru[None, :] * su[:, None]
+    n = int(res.num_matches)
+    err2 = np.asarray(tform_err_sq(jnp.asarray(A_mm),
+                                   jnp.asarray(src_mm[:n]),
+                                   jnp.asarray(ref_mm[:n])))
+    inl = err2 <= float(ransac_params.err_thresh) ** 2
+    if inl.sum() < 5:
+        return res, None
+    tps = fit_tps(jnp.asarray(ref_mm[:n][inl]),
+                  jnp.asarray(src_mm[:n][inl]), reg=reg)
+    return res, tps

@@ -77,16 +77,26 @@ def fit_tps(ctrl: jax.Array, targets: jax.Array,
 
 def im_inv_transform_tps(tps: Tps, src: jax.Array,
                          out_shape_zyx=None,
-                         interp: str = "linear") -> jax.Array:
-    """Pull-warp through a TPS (im_inv_transform with a Tps tform)."""
+                         interp: str = "linear",
+                         src_units=(1.0, 1.0, 1.0),
+                         ref_units=(1.0, 1.0, 1.0)) -> jax.Array:
+    """Pull-warp through a TPS (im_inv_transform with a Tps tform).
+
+    The TPS maps ref mm coordinates to src mm coordinates (the space
+    register_pair_tps fits in); the output grid is the ref voxel grid
+    scaled by ``ref_units`` and samples are taken at the result divided
+    by ``src_units``. With unit spacings this is a pure voxel warp.
+    """
     from ..ops.interp import _SAMPLERS
     if out_shape_zyx is None:
         out_shape_zyx = src.shape
     nz, ny, nx = out_shape_zyx
+    ru = jnp.asarray(ref_units, f64())
+    su = jnp.asarray(src_units, f64())
     x = jnp.arange(nx, dtype=f64())
     y = jnp.arange(ny, dtype=f64())
     z = jnp.arange(nz, dtype=f64())
     zz, yy, xx = jnp.meshgrid(z, y, x, indexing="ij")
-    pts = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
-    out = tps_apply(tps, pts).reshape(nz, ny, nx, 3)
+    pts = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3) * ru[None, :]
+    out = (tps_apply(tps, pts) / su[None, :]).reshape(nz, ny, nx, 3)
     return _SAMPLERS[interp](src, out[..., 0], out[..., 1], out[..., 2])
