@@ -75,43 +75,61 @@ def shard_halo(x_local: jax.Array, H: int, axis_name: str, z_axis: int):
 def conv_sep_sharded(vol: jax.Array, taps: np.ndarray, unit: float,
                      units: tuple[float, float, float], mesh: Mesh,
                      axis_name: str = "space",
-                     batch_axis_name: str | None = "data") -> jax.Array:
-    """Separable mm-unit convolution of a z-sharded volume.
+                     batch_axis_name: str | None = "data",
+                     shard_dim: str = "z") -> jax.Array:
+    """Separable mm-unit convolution of a spatially-sharded volume.
 
     Args:
-      vol: (nz, ny, nx) or (B, nz, ny, nx) global array; z sharded over
+      vol: (nz, ny, nx) or (B, nz, ny, nx) global array; the
+        ``shard_dim`` spatial axis ("z", "y" or "x") is sharded over
         ``axis_name``, batch (if present) over ``batch_axis_name``.
       taps, unit, units: as ops.conv.conv_sep.
       mesh: the device mesh.
 
-    Returns the convolved volume with the same sharding.
+    Returns the convolved volume with the same sharding. The two
+    unsharded axes run the local single-chip kernel; the sharded axis
+    exchanges an H-voxel ppermute halo and applies its precomputed
+    block of the global convolution matrix (module docstring).
+
+    The sharded axis is always applied last, so for shard_dim "y"/"x"
+    the pass order differs from the reference's x-y-z
+    (apply_Sep_FIR_filter, imutil.c:3494-3526) - equal up to f32
+    rounding (the passes commute); bit-parity paths use "z".
     """
     batched = vol.ndim == 4
-    nz, ny, nx = vol.shape[-3:]
+    dims = {"z": 0, "y": 1, "x": 2}
+    sd = dims[shard_dim]
+    n3 = vol.shape[-3:]                      # (nz, ny, nx)
+    u3 = (units[2], units[1], units[0])      # per-dim units, zyx order
     n_shards = mesh.shape[axis_name]
     taps_key = tuple(np.asarray(taps, np.float32).tolist())
-    blocks, H = _block_matrices(taps_key, float(unit), float(units[2]), nz,
-                                n_shards)
+    blocks, H = _block_matrices(taps_key, float(unit), float(u3[sd]),
+                                n3[sd], n_shards)
     blocks = jnp.asarray(blocks)
-    Wx = jnp.asarray(conv.conv_matrix(taps, unit, units[0], nx))
-    Wy = jnp.asarray(conv.conv_matrix(taps, unit, units[1], ny))
+    # Full matrices for the two locally-convolved axes.
+    W_loc = {d: jnp.asarray(conv.conv_matrix(taps, unit, u3[d], n3[d]))
+             for d in range(3) if d != sd}
 
-    z_axis = 1 if batched else 0
+    off = 1 if batched else 0
+    s_axis = off + sd
 
     def local(x, W_blk):
-        # x: (..., L, ny, nx) local block; W_blk: (1, L, L + 2H).
-        x = conv.conv_axis(x, Wx, x.ndim - 1)            # x pass (local)
-        x = conv.conv_axis(x, Wy, x.ndim - 2)            # y pass (local)
-        xext = shard_halo(x, H, axis_name, z_axis)       # z halos over ICI
+        for d in (2, 1, 0):                  # reference order: x, y, z
+            if d == sd:
+                continue
+            x = conv.conv_axis(x, W_loc[d], off + d)
+        xext = shard_halo(x, H, axis_name, s_axis)       # halos over ICI
         out = jnp.tensordot(W_blk[0].astype(x.dtype), xext,
-                            axes=([1], [z_axis]),
+                            axes=([1], [s_axis]),
                             precision=jax.lax.Precision.HIGHEST)
-        return jnp.moveaxis(out, 0, z_axis)
+        return jnp.moveaxis(out, 0, s_axis)
 
+    spatial = [None, None, None]
+    spatial[sd] = axis_name
     if batched:
-        vspec = P(batch_axis_name, axis_name, None, None)
+        vspec = P(batch_axis_name, *spatial)
     else:
-        vspec = P(axis_name, None, None)
+        vspec = P(*spatial)
     wspec = P(axis_name, None, None)
 
     return shard_map(local, mesh=mesh, in_specs=(vspec, wspec),

@@ -106,3 +106,21 @@ def test_batch_detect_describe_matches_single(rng):
         np.testing.assert_allclose(
             np.asarray(desc_b.vec)[b][:nb], np.asarray(desc.vec)[:nb],
             atol=1e-5)
+
+
+def test_conv_sep_sharded_y_and_x_axes(rng):
+    """Any spatial axis can carry the shard (x/y variants equal the
+    local kernel up to f32 pass-reordering)."""
+    from sift3d_tpu.ops.gauss import gauss_taps
+
+    vol = jnp.asarray(make_blob_volume((12, 24, 32), seed=33))
+    taps = gauss_taps(1.2)
+    units = (1.0, 1.3, 0.8)
+    want = np.asarray(conv.conv_sep(vol, taps, 1.0, units))
+    mesh = make_mesh(jax.devices()[:4], data=1, space=4)
+    got_y = np.asarray(conv_sep_sharded(vol, taps, 1.0, units, mesh,
+                                        shard_dim="y"))
+    got_x = np.asarray(conv_sep_sharded(vol, taps, 1.0, units, mesh,
+                                        shard_dim="x"))
+    np.testing.assert_allclose(got_y, want, atol=2e-5)
+    np.testing.assert_allclose(got_x, want, atol=2e-5)
