@@ -92,6 +92,25 @@ def tpu_parity_checks(src, jax, jnp):
          f"{v2.shape[0]} descriptors")
 
 
+def devices_or_die(jax, timeout_s: float = 300.0):
+    """jax.devices() with a hard timeout: the axon tunnel can go down
+    for hours (observed round 3), during which device enumeration blocks
+    forever at 0%% CPU. Failing fast with a diagnostic beats hanging the
+    driver."""
+    import threading
+
+    out = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        _err(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s"
+             " - the TPU tunnel is unreachable; aborting bench")
+        os._exit(3)        # the hung thread would block a normal exit
+    return out[0]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -108,7 +127,7 @@ def main():
     # Static per-level capacity: the batch path's one-program contract.
     params = SIFT3DParams(max_kp_per_level=64)
     plan = pyr_mod.plan_pyramid(SHAPE, (1.0, 1.0, 1.0), params)
-    devs = jax.devices()
+    devs = devices_or_die(jax)
     mesh = make_mesh(devs, data=len(devs), space=1)
 
     _err(f"generating {B} pairs of {SHAPE} volumes ...")

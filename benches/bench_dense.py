@@ -55,6 +55,8 @@ def main():
     from sift3d_tpu.features.dense import extract_dense_descriptors
     from sift3d_tpu.utils import roofline
 
+    from bench import devices_or_die
+    devices_or_die(jax)      # fail fast if the tunnel is down
     params = SIFT3DParams()
     print(f"generating {shape} volume ...", file=sys.stderr, flush=True)
     vol = make_volume(shape, nblob=max(60, n // 2), seed=7)

@@ -59,6 +59,8 @@ def main():
     from sift3d_tpu.config import SIFT3DParams
     from sift3d_tpu.utils import roofline
 
+    from bench import devices_or_die
+    devices_or_die(jax)      # fail fast if the tunnel is down
     params = SIFT3DParams(max_kp_per_level=4096)
     sift = Sift3D(params)
     print(f"generating {shape} volume ...", file=sys.stderr, flush=True)
