@@ -100,15 +100,29 @@ def devices_or_die(jax, timeout_s: float = 300.0):
     import threading
 
     out = []
-    t = threading.Thread(target=lambda: out.append(jax.devices()),
-                         daemon=True)
+
+    def probe():
+        try:
+            out.append(("ok", jax.devices()))
+        except Exception as e:       # surface init errors, not "timeout"
+            out.append(("err", e))
+
+    t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    deadline = time.monotonic() + timeout_s
+    while t.is_alive() and time.monotonic() < deadline:
+        t.join(1.0)
+        if out:
+            break
     if not out:
         _err(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s"
              " - the TPU tunnel is unreachable; aborting bench")
         os._exit(3)        # the hung thread would block a normal exit
-    return out[0]
+    kind, val = out[0]
+    if kind == "err":
+        _err(f"FATAL: jax.devices() raised: {val!r}")
+        os._exit(3)
+    return val
 
 
 def main():

@@ -81,23 +81,26 @@ def write_matches(path: str, src_xyz: np.ndarray, ref_xyz: np.ndarray
 
 
 def write_tps(path: str, params: np.ndarray, ctrl: np.ndarray) -> None:
-    """Write a thin-plate-spline transform as an (n+4, 3+n_pad) CSV.
+    """Write a thin-plate-spline transform as an (n+4, n+4) CSV.
 
     The reference never defined a TPS serialization (write_Tps is
     unimplemented, imutil.c:2861-2868), so this format is ours: row 0 is
     [n_ctrl, 0, ...], rows 1-3 are the (3, n_ctrl+4) params matrix, and
     the remaining n_ctrl rows are the control points padded with zeros.
+    Written at full precision (%.17g): unlike the affine CSV, whose %f
+    matches reference byte-compatibility, spline weights are tiny and
+    get amplified by U(r^2) = r^2 log r^2 - 6 fixed decimals would cost
+    millimeters after a round-trip.
     """
     params = np.asarray(params)
     ctrl = np.asarray(ctrl)
     n = ctrl.shape[0]
     assert params.shape == (3, n + 4), (params.shape, n)
-    cols = max(n + 4, 3)
-    out = np.zeros((1 + 3 + n, cols))
+    out = np.zeros((1 + 3 + n, n + 4))
     out[0, 0] = n
-    out[1:4, :n + 4] = params
+    out[1:4] = params
     out[4:, :3] = ctrl
-    write_mat(path, out)
+    write_mat(path, out, fmt="%.17g")
 
 
 def read_tps(path: str):

@@ -114,28 +114,23 @@ def register_pair_tps(desc_src: Descriptors, desc_ref: Descriptors,
     """
     import numpy as np
 
-    from .ransac import tform_err_sq
     from .tps import fit_tps
 
     res = register_pair(desc_src, desc_ref, src_units, ref_units,
                         match_params, ransac_params)
     if not bool(res.ok):
         return res, None
-    # Recover the mm-space inliers of the final affine.
-    src_mm = np.asarray(im2mm(res.match_src, src_units))
-    ref_mm = np.asarray(im2mm(res.match_ref, ref_units))
-    # res.A is voxel-space; rebuild the mm affine via the unit scalings
-    # (the inverse of mm2im, reg.c:79-117).
-    ru = np.concatenate([np.asarray(ref_units, np.float64), [1.0]])
-    su = np.asarray(src_units, np.float64)
-    A_mm = np.asarray(res.A) / ru[None, :] * su[:, None]
+    # Re-run the (deterministic, counter-based) RANSAC on the mm points
+    # to get the final mm-space affine's inlier mask directly, instead
+    # of hand-inverting mm2im's scaling.
+    src_mm = im2mm(res.match_src, src_units)
+    ref_mm = im2mm(res.match_ref, ref_units)
+    rres = find_tform_ransac(src_mm, ref_mm, res.num_matches,
+                             ransac_params)
     n = int(res.num_matches)
-    err2 = np.asarray(tform_err_sq(jnp.asarray(A_mm),
-                                   jnp.asarray(src_mm[:n]),
-                                   jnp.asarray(ref_mm[:n])))
-    inl = err2 <= float(ransac_params.err_thresh) ** 2
+    inl = np.asarray(rres.inlier_mask)[:n]
     if inl.sum() < 5:
         return res, None
-    tps = fit_tps(jnp.asarray(ref_mm[:n][inl]),
-                  jnp.asarray(src_mm[:n][inl]), reg=reg)
+    tps = fit_tps(jnp.asarray(np.asarray(ref_mm)[:n][inl]),
+                  jnp.asarray(np.asarray(src_mm)[:n][inl]), reg=reg)
     return res, tps

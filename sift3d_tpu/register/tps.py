@@ -98,5 +98,12 @@ def im_inv_transform_tps(tps: Tps, src: jax.Array,
     z = jnp.arange(nz, dtype=f64())
     zz, yy, xx = jnp.meshgrid(z, y, x, indexing="ij")
     pts = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3) * ru[None, :]
-    out = (tps_apply(tps, pts) / su[None, :]).reshape(nz, ny, nx, 3)
+    # Chunk the grid: tps_apply materializes an (n_pts, n_ctrl, 3) f64
+    # displacement intermediate, which at 256^3+ x dozens of control
+    # points is tens of GB if applied to the whole grid at once.
+    n_ctrl = int(tps.ctrl.shape[0])
+    chunk = max(1, (1 << 24) // max(n_ctrl, 1))
+    outs = [tps_apply(tps, pts[i:i + chunk]) / su[None, :]
+            for i in range(0, pts.shape[0], chunk)]
+    out = jnp.concatenate(outs, axis=0).reshape(nz, ny, nx, 3)
     return _SAMPLERS[interp](src, out[..., 0], out[..., 1], out[..., 2])
