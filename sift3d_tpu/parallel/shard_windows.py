@@ -41,8 +41,11 @@ from .shard_conv import shard_halo
 
 def _local_window(block_ext, sy, sx, cy, cx):
     """(S+2, cy+2, cx+2) window: all local z rows, dynamic (y, x) core."""
+    # The z start must share sy/sx's dtype: a python 0 weak-types to
+    # int64 under x64, which lax.dynamic_slice rejects.
+    z0 = jnp.zeros((), sy.dtype)
     return jax.lax.dynamic_slice(
-        block_ext, (0, sy - 1, sx - 1),
+        block_ext, (z0, sy - 1, sx - 1),
         (block_ext.shape[0], cy + 2, cx + 2))
 
 
