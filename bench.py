@@ -179,17 +179,25 @@ def main():
     # peaks (per-stage numbers live in benches/bench_kp.py).
     kp_est = 64.0 * (plan.num_dog_levels - 2)   # capacity-bound estimate
     cost = roofline.batch_register_cost(plan, kp_est, 17.0 ** 3, B)
-    for rec in roofline.roofline_report({"batch_register": t},
-                                        {"batch_register": cost},
-                                        n_chips=len(devs)):
+    roof = list(roofline.roofline_report({"batch_register": t},
+                                         {"batch_register": cost},
+                                         n_chips=len(devs)))
+    for rec in roof:
         _err(json.dumps(rec))
 
-    print(json.dumps({
+    result = {
         "metric": "registered_pairs_per_s",
         "value": round(pairs_per_s, 2),
         "unit": "pair/s",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 1),
-    }))
+    }
+    from benches.persist import record_last_good
+    record_last_good(result, roofline=roof, extra={
+        "B": B, "shape": SHAPE, "gate_pass": round(float(good.mean()), 4),
+        "median_t_err_vox": round(float(np.median(t_err)), 3),
+        "times_s": [round(x, 4) for x in times],
+    })
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

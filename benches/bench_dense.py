@@ -85,19 +85,26 @@ def main():
         + (2 * 12 * 4 * vox) * 3                 # 12-chan blur, 3 axes
         + 2 * 12 * 4 * vox,                      # postprocess r+w
         flops=vox * (2 * taps * 3) * 13 + vox * 120)
-    for rec in roofline.roofline_report({"dense": t}, {"dense": cost}):
+    roof = list(roofline.roofline_report({"dense": t}, {"dense": cost}))
+    for rec in roof:
         print(json.dumps(rec), file=sys.stderr, flush=True)
 
     if check:
         _oracle_check(vol, np.asarray(out), n)
 
     base = BASELINES.get(n)
-    print(json.dumps({
+    result = {
         "metric": f"dense_descriptor_voxels_per_s_{n}",
         "value": round(voxels_per_s, 1),
         "unit": "voxel/s",
         "vs_baseline": round(voxels_per_s / base, 3) if base else None,
-    }))
+    }
+    from benches.persist import record_last_good
+    record_last_good(result, roofline=roof, extra={
+        "checked_vs_oracle": check,
+        "times_s": [round(x, 4) for x in times],
+    })
+    print(json.dumps(result))
 
 
 def _oracle_check(vol, ours, n):

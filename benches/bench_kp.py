@@ -93,19 +93,26 @@ def main():
         "total": (roofline.pyramid_cost(plan) + roofline.extrema_cost(plan)
                   + roofline.descriptor_cost(n_kp, 17.0 ** 3)),
     }
-    for rec in roofline.roofline_report({"total": t}, costs):
+    roof = list(roofline.roofline_report({"total": t}, costs))
+    for rec in roof:
         print(json.dumps(rec), file=sys.stderr, flush=True)
 
     if check:
         _oracle_check(vol, kp, n)
 
     base = BASELINES.get(n)
-    print(json.dumps({
+    result = {
         "metric": f"kp_pipeline_voxels_per_s_{n}",
         "value": round(voxels_per_s, 1),
         "unit": "voxel/s",
         "vs_baseline": round(voxels_per_s / base, 3) if base else None,
-    }))
+    }
+    from benches.persist import record_last_good
+    record_last_good(result, roofline=roof, extra={
+        "n_kp": n_kp, "checked_vs_oracle": check,
+        "times_s": [round(x, 4) for x in times],
+    })
+    print(json.dumps(result))
 
 
 def _oracle_check(vol, kp, n):
