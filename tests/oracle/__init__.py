@@ -21,29 +21,79 @@ _ORACLE_C = pathlib.Path(__file__).with_name("oracle.c")
 
 _lib = None
 _tried = False
+_MININIFTI_SRC = pathlib.Path(__file__).with_name("mini_nifti")
+
+
+def _build_mininifti() -> pathlib.Path | None:
+    """Build the from-scratch nifti1_io shim (mini_nifti/) into
+    BUILD_DIR/mininifti with the NIFTIConfig.cmake package layout, so the
+    reference builds WITH_NIFTI and its CLIs can read/write .nii[.gz]."""
+    out = BUILD_DIR / "mininifti"
+    so = out / "lib" / "libniftiio.so"
+    src = _MININIFTI_SRC / "mini_nifti.c"
+    hdr = _MININIFTI_SRC / "nifti1_io.h"
+    stamp = max(src.stat().st_mtime, hdr.stat().st_mtime)
+    if so.exists() and so.stat().st_mtime >= stamp:
+        return out
+    (out / "lib").mkdir(parents=True, exist_ok=True)
+    (out / "include").mkdir(parents=True, exist_ok=True)
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", f"-I{_MININIFTI_SRC}",
+             str(src), "-o", str(so), "-lz"],
+            check=True, capture_output=True)
+        # The reference's cmake/FindNIFTI.cmake (module mode, wins over
+        # config mode) also demands nifti1.h and the nifticdf/znz libs;
+        # satisfy it with a header alias and empty stub libraries.
+        empty = out / "empty.c"
+        empty.write_text("int mini_nifti_stub_;\n")
+        for stub in ("libnifticdf.so", "libznz.so"):
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", str(empty),
+                 "-o", str(out / "lib" / stub)],
+                check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    import shutil
+    shutil.copy(hdr, out / "include" / "nifti1_io.h")
+    shutil.copy(hdr, out / "include" / "nifti1.h")
+    shutil.copy(_MININIFTI_SRC / "NIFTIConfig.cmake", out)
+    return out
 
 
 def _build() -> pathlib.Path | None:
     so = BUILD_DIR / "liboracle.so"
     ref_build = BUILD_DIR / "refbuild"
-    if so.exists() and so.stat().st_mtime >= _ORACLE_C.stat().st_mtime:
+    nifti_marker = ref_build / ".with_nifti"
+    if (so.exists() and so.stat().st_mtime >= _ORACLE_C.stat().st_mtime
+            and nifti_marker.exists()):
         return so
     if not pathlib.Path(REF_DIR).is_dir():
         return None
     BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    mininifti = _build_mininifti()
+    if mininifti is not None and not nifti_marker.exists():
+        # Stale NIFTI-less build (the WITH_NIFTI cache var sticks at
+        # FALSE once configured): wipe and reconfigure from scratch.
+        import shutil
+        shutil.rmtree(ref_build, ignore_errors=True)
     ref_build.mkdir(parents=True, exist_ok=True)
     lapack = "/lib/x86_64-linux-gnu/liblapack.so.3"
     blas = "/lib/x86_64-linux-gnu/libblas.so.3"
+    nifti_flags = [] if mininifti is None else [
+        "-DWITH_NIFTI=TRUE", f"-DNIFTI_DIR={mininifti}"]
     try:
         if not (ref_build / "lib" / "libsift3D.so").exists():
             subprocess.run(
                 ["cmake", REF_DIR, "-DCMAKE_BUILD_TYPE=Release",
                  "-DBUILD_Matlab=OFF", "-DBUILD_EXAMPLES=OFF", "-G", "Ninja",
                  f"-DBLAS_LIBRARIES={blas}",
-                 f"-DLAPACK_LIBRARIES={lapack};{blas}"],
+                 f"-DLAPACK_LIBRARIES={lapack};{blas}"] + nifti_flags,
                 cwd=ref_build, check=True, capture_output=True)
             subprocess.run(["ninja"], cwd=ref_build, check=True,
                            capture_output=True)
+            if mininifti is not None:
+                nifti_marker.touch()
         subprocess.run(
             ["gcc", "-O2", "-shared", "-fPIC",
              f"-I{REF_DIR}/imutil", f"-I{REF_DIR}/sift3d", f"-I{REF_DIR}/reg",
@@ -221,3 +271,18 @@ class Oracle:
 def get() -> Oracle | None:
     lib = get_oracle()
     return Oracle(lib) if lib is not None else None
+
+
+def cli_bins() -> dict[str, pathlib.Path] | None:
+    """Paths to the NIFTI-enabled reference CLI binaries
+    (kpSift3D / regSift3D / denseSift3D), building them if needed.
+    Returns None if the build is unavailable or was made without the
+    mini-nifti shim (in which case the CLIs can't read any image)."""
+    if _build() is None:
+        return None
+    ref_build = BUILD_DIR / "refbuild"
+    if not (ref_build / ".with_nifti").exists():
+        return None
+    bins = {n: ref_build / "bin" / n
+            for n in ("kpSift3D", "regSift3D", "denseSift3D")}
+    return bins if all(p.exists() for p in bins.values()) else None
