@@ -142,10 +142,12 @@ def _shift(x: jax.Array, d: int, axis: int) -> jax.Array:
     return jnp.pad(sl, pad)
 
 
-@functools.lru_cache(maxsize=None)
-def _band_diagonals(taps_key, unit: float, unit_dim: float, n: int):
-    """(offsets, (n,)-diagonal weight vectors) of the conv matrix."""
-    W = _conv_matrix_cached(taps_key, unit, unit_dim, n)
+def matrix_band_diagonals(W: np.ndarray):
+    """(offsets, diagonal weight vectors) of a square banded matrix W.
+
+    Diagonal d of the length-n output Dd satisfies
+    ``(W @ x)[i] = sum_d Dd[i] * x[i + d]`` (zero-padded outside)."""
+    n = W.shape[0]
     rows, cols = np.nonzero(W)
     H = int(np.abs(cols - rows).max()) if len(rows) else 0
     offs, diags = [], []
@@ -162,18 +164,19 @@ def _band_diagonals(taps_key, unit: float, unit_dim: float, n: int):
     return tuple(offs), np.stack(diags)
 
 
-def conv_axis_banded(vol: jax.Array, taps: np.ndarray, unit: float,
-                     unit_dim: float, axis: int) -> jax.Array:
-    """The same exact banded operator as ``conv_axis`` (identical matrix,
-    including mm-unit interpolated taps and mirror boundary rows) applied
-    as a shift-multiply-add over its nonzero diagonals: O(band) work per
-    voxel instead of the matmul's O(n), and purely bandwidth-bound (XLA
-    fuses the slice/pad/fma chain into one pass over the volume)."""
+@functools.lru_cache(maxsize=None)
+def _band_diagonals(taps_key, unit: float, unit_dim: float, n: int):
+    return matrix_band_diagonals(
+        _conv_matrix_cached(taps_key, unit, unit_dim, n))
+
+
+def apply_band(vol: jax.Array, offs, diags, axis: int) -> jax.Array:
+    """Apply a banded operator given as (offsets, diagonals) along
+    ``axis``: a shift-multiply-add over its nonzero diagonals, O(band)
+    work per voxel, purely bandwidth-bound (XLA fuses the
+    slice/pad/fma chain into one pass over the volume)."""
     axis = axis % vol.ndim
     n = vol.shape[axis]
-    offs, diags = _band_diagonals(
-        tuple(np.asarray(taps, np.float32).tolist()),
-        float(unit), float(unit_dim), n)
     shape = [1] * vol.ndim
     shape[axis] = n
     out = None
@@ -182,6 +185,19 @@ def conv_axis_banded(vol: jax.Array, taps: np.ndarray, unit: float,
             _shift(vol, d, axis)
         out = term if out is None else out + term
     return out
+
+
+def conv_axis_banded(vol: jax.Array, taps: np.ndarray, unit: float,
+                     unit_dim: float, axis: int) -> jax.Array:
+    """The same exact banded operator as ``conv_axis`` (identical matrix,
+    including mm-unit interpolated taps and mirror boundary rows) applied
+    via ``apply_band``: O(band) work per voxel instead of the matmul's
+    O(n)."""
+    n = vol.shape[axis % vol.ndim]
+    offs, diags = _band_diagonals(
+        tuple(np.asarray(taps, np.float32).tolist()),
+        float(unit), float(unit_dim), n)
+    return apply_band(vol, offs, diags, axis)
 
 
 def conv_sep(vol: jax.Array, taps: np.ndarray, unit: float,

@@ -53,15 +53,35 @@ def _conv_level(vols, taps, units_o, mesh):
         out, NamedSharding(mesh, P("data", None, None, None)))
 
 
-def build_gpyr_batched(vols: jax.Array, plan, mesh: Mesh) -> dict:
+def build_gpyr_batched(vols: jax.Array, plan, mesh: Mesh,
+                       pipelined: bool = False) -> dict:
     """Batched GSS pyramid: {(o, s): (B, nz, ny, nx)}.
 
     Mirrors pyramid.build_gpyr level-for-level; the input batch must already
     be scaled to [-1, 1] per volume.
+
+    With ``pipelined=True`` (and no "space" sharding, whose halo exchange
+    is tap-based), levels are built by the composed-operator formulation
+    (pyramid.build_gpyr_pipelined): dependency depth drops from
+    ``1 + num_octaves * (num_gpyr_levels - 2)`` convolutions to 3, equal
+    to the sequential path within float32 rounding.
     """
     first = plan.first_level
     last = plan.last_gpyr_level
     levels: dict = {}
+    if pipelined and mesh.shape["space"] == 1:
+        rep = NamedSharding(mesh, P("data", None, None, None))
+        seed_ops, level_ops = pyr_mod.composed_pyramid_operators(plan)
+        seed0 = _conv_level(vols, plan.first_gauss_taps(),
+                            plan.octave_units(0), mesh)
+        for o in range(plan.num_octaves):
+            seed = seed0 if o == 0 else jax.lax.with_sharding_constraint(
+                pyr_mod.apply_sep_ops(seed0, seed_ops[o]), rep)
+            levels[(o, first)] = seed
+            for s in range(first + 1, last + 1):
+                levels[(o, s)] = jax.lax.with_sharding_constraint(
+                    pyr_mod.apply_sep_ops(seed, level_ops[(o, s)]), rep)
+        return levels
     for o in range(plan.num_octaves):
         units_o = plan.octave_units(o)
         if o == 0:
@@ -81,7 +101,7 @@ def build_gpyr_batched(vols: jax.Array, plan, mesh: Mesh) -> dict:
 
 
 def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
-                          mesh: Mesh):
+                          mesh: Mesh, pipelined: bool = False):
     """Detect + describe a batch of volumes: DP over "data", SP over "space".
 
     Args:
@@ -94,7 +114,7 @@ def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
     from .shard_extrema import level_extrema_sharded
 
     scaled = jax.vmap(pyr_mod.im_scale)(vols.astype(jnp.float32))
-    gpyr_b = build_gpyr_batched(scaled, plan, mesh)
+    gpyr_b = build_gpyr_batched(scaled, plan, mesh, pipelined=pipelined)
     # DoG is an elementwise subtraction: stays z-sharded.
     dog_b = pyr_mod.build_dog(gpyr_b, plan)
 
@@ -235,7 +255,8 @@ def batch_register_pairs(src_vols: jax.Array, ref_vols: jax.Array,
                          plan, params: SIFT3DParams, mesh: Mesh,
                          units=(1.0, 1.0, 1.0),
                          match_params: MatchParams = MatchParams(),
-                         ransac_params: RansacParams = RansacParams()):
+                         ransac_params: RansacParams = RansacParams(),
+                         pipelined: bool = False):
     """Register B volume pairs in parallel (BASELINE.json config 4).
 
     Returns a RegistrationResult pytree with leading batch axis; affine
@@ -243,8 +264,10 @@ def batch_register_pairs(src_vols: jax.Array, ref_vols: jax.Array,
     """
     from ..register.pipeline import register_pair
 
-    _, desc_src = batch_detect_describe(src_vols, plan, params, mesh)
-    _, desc_ref = batch_detect_describe(ref_vols, plan, params, mesh)
+    _, desc_src = batch_detect_describe(src_vols, plan, params, mesh,
+                                        pipelined=pipelined)
+    _, desc_ref = batch_detect_describe(ref_vols, plan, params, mesh,
+                                        pipelined=pipelined)
 
     def one_pair(ds, dr):
         return register_pair(ds, dr, units, units, match_params,

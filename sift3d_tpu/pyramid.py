@@ -180,6 +180,113 @@ def build_gpyr(vol: jax.Array, plan: PyramidPlan) -> dict:
     return levels
 
 
+# --- octave-pipelined builder (composed per-axis operators) ----------------
+#
+# SURVEY §5.7 names the sequential octave dependency (reference
+# sift.c:1029-1042: each octave seeds from the previous octave's
+# downsample_level) as the target for pipelining: "pipeline octaves across
+# chips or re-blur from base per octave to break the dependency". Because
+# every step of build_gpyr is a LINEAR per-axis operator - the blur is a
+# banded matrix (ops/conv.py) and the 2x downsample-pick is a row-selection
+# matrix - the whole pyramid factors exactly into per-axis matrix products
+# composed on the host in float64:
+#
+#   seed(o)     = M_o  @ seed(0)          (M_o rectangular, n_o x n_base)
+#   level(o, s) = C_os @ seed(o)          (C_os square, composed blurs)
+#
+# This is the "re-blur from base" variant made EXACT: the composed
+# operators include the strided downsample-pick rows, so parity with the
+# sequential path holds to float32 rounding (tested at 2e-6). The
+# dependency depth collapses from 1 + num_octaves * (num_gpyr_levels - 2)
+# sequential convolutions to 3 (first blur -> seed projection -> level
+# projection), every level is independent given seed(0), and octaves can
+# build concurrently - the XLA-native form of octave pipelining.
+
+def _axis_lengths(dims):
+    """(nx, ny, nz) -> per-axis lengths in (x, y, z) order."""
+    return tuple(dims)
+
+
+def composed_pyramid_operators(plan: PyramidPlan):
+    """Host-side composed per-axis operators for the pipelined builder.
+
+    Returns ``(seed_ops, level_ops)``:
+      - ``seed_ops[o]``: per-axis (x, y, z) matrices mapping the octave-0
+        seed (level ``(0, first)``) to octave o's seed, or None for o=0.
+      - ``level_ops[(o, s)]``: per-axis matrices mapping octave o's seed
+        to level ``(o, s)``, for s > first.
+    All matrices float32, composed in float64.
+    """
+    first = plan.first_level
+    last = plan.last_gpyr_level
+    ds = plan.downsample_level
+
+    level_ops: dict = {}
+    seed_ops: list = [None]
+    # M per axis accumulates the seed projection; identity at octave 0.
+    M = [np.eye(n, dtype=np.float64) for n in _axis_lengths(plan.dims)]
+    for o in range(plan.num_octaves):
+        units_o = plan.octave_units(o)
+        dims_o = plan.octave_dims(o)
+        C = [np.eye(n, dtype=np.float64)
+             for n in _axis_lengths(dims_o)]
+        for s in range(first + 1, last + 1):
+            taps = plan.octave_filter_taps(s)
+            for d, (n, u) in enumerate(zip(_axis_lengths(dims_o), units_o)):
+                W = conv.conv_matrix(taps, 1.0, u, n).astype(np.float64)
+                C[d] = W @ C[d]
+            level_ops[(o, s)] = tuple(c.astype(np.float32) for c in C)
+            if s == ds and o + 1 < plan.num_octaves:
+                # Seed of the next octave: strided 2x downsample-pick of
+                # this level (sift.c:1029-1042) composed into M.
+                dims_n = plan.octave_dims(o + 1)
+                for d, n_next in enumerate(_axis_lengths(dims_n)):
+                    sel = np.arange(n_next) * 2        # pick even indices
+                    M[d] = C[d][sel] @ M[d]
+        if o + 1 < plan.num_octaves:
+            seed_ops.append(tuple(m.astype(np.float32) for m in M))
+    return seed_ops, level_ops
+
+
+def _apply_axis_op(vol: jax.Array, W: np.ndarray, axis: int) -> jax.Array:
+    """Apply one composed per-axis operator: banded for long square
+    matrices (same crossover as conv_sep), MXU matmul otherwise."""
+    n_out, n_in = W.shape
+    if n_out == n_in and n_in >= conv.BANDED_MIN_N:
+        offs, diags = conv.matrix_band_diagonals(W)
+        return conv.apply_band(vol, offs, diags, axis)
+    return conv.conv_axis(vol, W, axis)
+
+
+def apply_sep_ops(vol: jax.Array, ops) -> jax.Array:
+    """Apply per-axis (x, y, z) composed operators, x then y then z
+    (the conv_sep dimension order, imutil.c:3494-3526)."""
+    Wx, Wy, Wz = ops
+    vol = _apply_axis_op(vol, Wx, -1)
+    vol = _apply_axis_op(vol, Wy, -2)
+    return _apply_axis_op(vol, Wz, -3)
+
+
+def build_gpyr_pipelined(vol: jax.Array, plan: PyramidPlan,
+                         ops=None) -> dict:
+    """Octave-pipelined Gaussian pyramid: same {(o, s): array} contract as
+    ``build_gpyr``, equal to it within float32 rounding, with dependency
+    depth 3 instead of 1 + num_octaves * (num_gpyr_levels - 2)."""
+    if ops is None:
+        ops = composed_pyramid_operators(plan)
+    seed_ops, level_ops = ops
+    first = plan.first_level
+    levels: dict = {}
+    seed0 = conv.conv_sep(vol, plan.first_gauss_taps(), 1.0,
+                          plan.octave_units(0))
+    for o in range(plan.num_octaves):
+        seed = seed0 if o == 0 else apply_sep_ops(seed0, seed_ops[o])
+        levels[(o, first)] = seed
+        for s in range(first + 1, plan.last_gpyr_level + 1):
+            levels[(o, s)] = apply_sep_ops(seed, level_ops[(o, s)])
+    return levels
+
+
 def build_dog(gpyr: dict, plan: PyramidPlan) -> dict:
     """DoG levels: dog(o, s) = gpyr(o, s) - gpyr(o, s+1) (sift.c:1052-1071)."""
     dog: dict = {}
