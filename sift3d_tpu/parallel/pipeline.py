@@ -30,31 +30,38 @@ from ..ops import conv
 from .shard_conv import conv_sep_sharded
 
 
-def _z_shardable(taps, unit: float, unit_z: float, nz: int,
-                 n_space: int) -> bool:
-    """Whether a z-sharded halo conv is valid for this filter/extent."""
+_SPATIAL_DIMS = {"z": 0, "y": 1, "x": 2}
+
+
+def _conv_shardable(taps, unit: float, unit_dim: float, n: int,
+                    n_space: int) -> bool:
+    """Whether a sharded halo conv is valid for this filter/extent."""
     if n_space <= 1:
         return False
-    if nz % n_space:
+    if n % n_space:
         return False
-    W = conv.conv_matrix(np.asarray(taps, np.float32), unit, unit_z, nz)
+    W = conv.conv_matrix(np.asarray(taps, np.float32), unit, unit_dim, n)
     rows, cols = np.nonzero(W)
     H = int(np.max(np.abs(cols - rows))) if len(rows) else 0
-    return H <= nz // n_space
+    return H <= n // n_space
 
 
-def _conv_level(vols, taps, units_o, mesh):
-    """One blur of a (B, nz, ny, nx) batch: sharded z pass when possible."""
-    nz = vols.shape[1]
-    if _z_shardable(taps, 1.0, units_o[2], nz, mesh.shape["space"]):
-        return conv_sep_sharded(vols, taps, 1.0, units_o, mesh)
+def _conv_level(vols, taps, units_o, mesh, shard_dim: str = "z"):
+    """One blur of a (B, nz, ny, nx) batch: sharded spatial pass along
+    ``shard_dim`` when possible."""
+    sd = _SPATIAL_DIMS[shard_dim]
+    n = vols.shape[1 + sd]
+    if _conv_shardable(taps, 1.0, units_o[2 - sd], n, mesh.shape["space"]):
+        return conv_sep_sharded(vols, taps, 1.0, units_o, mesh,
+                                shard_dim=shard_dim)
     out = conv.conv_sep(vols, taps, 1.0, units_o)
     return jax.lax.with_sharding_constraint(
         out, NamedSharding(mesh, P("data", None, None, None)))
 
 
 def build_gpyr_batched(vols: jax.Array, plan, mesh: Mesh,
-                       pipelined: bool = False) -> dict:
+                       pipelined: bool = False,
+                       shard_dim: str = "z") -> dict:
     """Batched GSS pyramid: {(o, s): (B, nz, ny, nx)}.
 
     Mirrors pyramid.build_gpyr level-for-level; the input batch must already
@@ -73,7 +80,7 @@ def build_gpyr_batched(vols: jax.Array, plan, mesh: Mesh,
         rep = NamedSharding(mesh, P("data", None, None, None))
         seed_ops, level_ops = pyr_mod.composed_pyramid_operators(plan)
         seed0 = _conv_level(vols, plan.first_gauss_taps(),
-                            plan.octave_units(0), mesh)
+                            plan.octave_units(0), mesh, shard_dim)
         for o in range(plan.num_octaves):
             seed = seed0 if o == 0 else jax.lax.with_sharding_constraint(
                 pyr_mod.apply_sep_ops(seed0, seed_ops[o]), rep)
@@ -86,7 +93,7 @@ def build_gpyr_batched(vols: jax.Array, plan, mesh: Mesh,
         units_o = plan.octave_units(o)
         if o == 0:
             levels[(o, first)] = _conv_level(vols, plan.first_gauss_taps(),
-                                             units_o, mesh)
+                                             units_o, mesh, shard_dim)
         else:
             src = levels[(o - 1, plan.downsample_level)]
             nxd, nyd, nzd = plan.octave_dims(o)
@@ -96,16 +103,20 @@ def build_gpyr_batched(vols: jax.Array, plan, mesh: Mesh,
         for s in range(first + 1, last + 1):
             levels[(o, s)] = _conv_level(levels[(o, s - 1)],
                                          plan.octave_filter_taps(s),
-                                         units_o, mesh)
+                                         units_o, mesh, shard_dim)
     return levels
 
 
 def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
-                          mesh: Mesh, pipelined: bool = False):
+                          mesh: Mesh, pipelined: bool = False,
+                          shard_dim: str = "z"):
     """Detect + describe a batch of volumes: DP over "data", SP over "space".
 
     Args:
       vols: (B, nz, ny, nx) raw volumes (one shape per plan).
+      shard_dim: which spatial axis the "space" mesh axis slices
+        ("z"/"y"/"x"); non-z choices matter for thin-z geometries such
+        as the reference's y-z-plane mammograms (dicom.cpp:494-515).
 
     Returns (keypoints, descriptors) pytrees with a leading batch axis.
     """
@@ -113,23 +124,25 @@ def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
     from ..features import extrema as extrema_mod
     from .shard_extrema import level_extrema_sharded
 
+    sd = _SPATIAL_DIMS[shard_dim]
     scaled = jax.vmap(pyr_mod.im_scale)(vols.astype(jnp.float32))
-    gpyr_b = build_gpyr_batched(scaled, plan, mesh, pipelined=pipelined)
-    # DoG is an elementwise subtraction: stays z-sharded.
+    gpyr_b = build_gpyr_batched(scaled, plan, mesh, pipelined=pipelined,
+                                shard_dim=shard_dim)
+    # DoG is an elementwise subtraction: stays spatially sharded.
     dog_b = pyr_mod.build_dog(gpyr_b, plan)
 
-    # Extrema stay z-sharded (halo 1 + pmax for the relative threshold +
-    # scan-order merge) on levels whose z extent divides the axis;
-    # geometrically tiny deep octaves fall back to replicated-z.
+    # Extrema stay sharded (halo 1 + pmax for the relative threshold +
+    # scan-order merge) on levels whose sharded extent divides the axis;
+    # geometrically tiny deep octaves fall back to replicated compute.
     n_space = mesh.shape["space"]
     ext = {}
     for o, s in detect_mod.kp_levels(plan):
         cap = detect_mod.level_cap(plan, o, params)
-        nz_o = dog_b[(o, s)].shape[1]
-        if n_space > 1 and nz_o % n_space == 0 and nz_o // n_space >= 2:
+        n_o = dog_b[(o, s)].shape[1 + sd]
+        if n_space > 1 and n_o % n_space == 0 and n_o // n_space >= 2:
             ext[(o, s)] = level_extrema_sharded(
                 dog_b[(o, s - 1)], dog_b[(o, s)], dog_b[(o, s + 1)],
-                params.peak_thresh, cap, mesh)
+                params.peak_thresh, cap, mesh, shard_dim=shard_dim)
         else:
             ext[(o, s)] = jax.vmap(
                 lambda p, c, n: extrema_mod.level_extrema(
@@ -151,32 +164,35 @@ def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
 
         return jax.vmap(one_volume)(gpyr_b, ext)
 
-    return _windows_z_sharded(gpyr_b, ext, caps, plan, params, mesh)
+    return _windows_sharded(gpyr_b, ext, caps, plan, params, mesh,
+                            shard_dim)
 
 
-def _windows_z_sharded(gpyr_b: dict, ext: dict, caps: dict, plan,
-                       params: SIFT3DParams, mesh: Mesh):
-    """Orientation + descriptors with windows partitioned over z
-    (SURVEY §5.7 back half; shard_windows partial-sum + psum design).
+def _windows_sharded(gpyr_b: dict, ext: dict, caps: dict, plan,
+                     params: SIFT3DParams, mesh: Mesh,
+                     shard_dim: str = "z"):
+    """Orientation + descriptors with windows partitioned over the
+    ``shard_dim`` spatial axis (SURVEY §5.7 back half; shard_windows
+    partial-sum + psum design).
 
-    Levels whose z extent does not divide the "space" axis (the tiny deep
-    octaves) fall back to replicated-z vmapped compute; the selection is
-    static per level.
+    Levels whose sharded extent does not divide the "space" axis (the
+    tiny deep octaves) fall back to replicated vmapped compute; the
+    selection is static per level.
     """
     from ..features import detect as detect_mod
     from ..features.descriptor import Descriptors, extract_level
     from ..features.keypoints import concatenate as kp_concat
     from ..features.orientation import assign_orientations_level
     from ..dtypes import f64 as _f64
-    from .shard_windows import (descrip_level_z_sharded,
-                                orient_level_z_sharded)
+    from .shard_windows import descrip_level_sharded, orient_level_sharded
 
+    sd = _SPATIAL_DIMS[shard_dim]
     n_space = mesh.shape["space"]
     rep = NamedSharding(mesh, P("data", None, None, None))
 
     def shardable(level_key):
-        nz_o = gpyr_b[level_key].shape[1]
-        return nz_o % n_space == 0 and nz_o // n_space >= 2
+        n_o = gpyr_b[level_key].shape[1 + sd]
+        return n_o % n_space == 0 and n_o // n_space >= 2
 
     # --- orientation, level by level, then compact + concatenate ---
     buckets = []
@@ -188,9 +204,9 @@ def _windows_z_sharded(gpyr_b: dict, ext: dict, caps: dict, plan,
         geom = plan.gpyr_level(o, s)
         units_o = plan.octave_units(o)
         if shardable((o, s)):
-            R_b, valid_b = orient_level_z_sharded(
+            R_b, valid_b = orient_level_sharded(
                 gpyr_b[(o, s)], zyx_b, geom.scale, units_o,
-                params.corner_thresh, mesh)
+                params.corner_thresh, mesh, shard_dim=shard_dim)
         else:
             lvl = jax.lax.with_sharding_constraint(gpyr_b[(o, s)], rep)
             R_b, valid_b = jax.vmap(
@@ -229,9 +245,9 @@ def _windows_z_sharded(gpyr_b: dict, ext: dict, caps: dict, plan,
 
         rows_b, n_b, centers_b, Rm_b = jax.vmap(bucket)(kp, valid_b)
         if shardable((o, s)):
-            desc_b = descrip_level_z_sharded(
+            desc_b = descrip_level_sharded(
                 gpyr_b[(o, s)], centers_b, Rm_b, geom.scale, units_o,
-                mesh)
+                mesh, shard_dim=shard_dim)
         else:
             lvl = jax.lax.with_sharding_constraint(gpyr_b[(o, s)], rep)
             desc_b = jax.vmap(

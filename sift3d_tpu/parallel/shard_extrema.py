@@ -1,18 +1,20 @@
 """Spatially-sharded DoG extrema detection.
 
-Extends the z-sharding of the scale-space convolutions (shard_conv)
-through the extrema scan (SURVEY §5.7): each shard detects extrema on
-its own z slab using a 1-plane halo of the current DoG level (the
-6-neighborhood needs z +- 1; the prev/next levels contribute only their
-center voxels, reference sift.c:1138-1150), the per-level DoG max - the
-relative peak threshold's normalizer (sift.c:1162-1169) - is a ``pmax``
-over the axis, and the per-shard scan-order compactions merge with an
-all_gather + re-reduction on global scan keys.
+Extends the spatial sharding of the scale-space convolutions
+(shard_conv) through the extrema scan (SURVEY §5.7): each shard detects
+extrema on its own slab of the sharded spatial axis using a 1-plane halo
+of the current DoG level (the 6-neighborhood needs +-1 along every axis;
+the prev/next levels contribute only their center voxels, reference
+sift.c:1138-1150), the per-level DoG max - the relative peak threshold's
+normalizer (sift.c:1162-1169) - is a ``pmax`` over the axis, and the
+per-shard scan-order compactions merge with an all_gather + re-reduction
+on global scan keys.
 
-The merged result is bit-identical to features.extrema.level_extrema on
-the gathered volume: shard z-slabs are contiguous in the global (z, y,
-x) scan order, so the globally-first ``capacity`` extrema are a subset
-of the union of each shard's locally-first ``capacity``.
+Any spatial axis can shard (``shard_dim`` "z"/"y"/"x", like shard_conv
+and shard_windows): the merge is on *global* scan-order keys, and every
+globally-first extremum is also locally-first within its own shard, so
+the merged result is bit-identical to features.extrema.level_extrema on
+the gathered volume regardless of which axis was sliced.
 """
 
 from __future__ import annotations
@@ -24,39 +26,62 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .shard_conv import shard_halo
 
+_DIMS = {"z": 0, "y": 1, "x": 2}
 
-def _local_scan(cur_h, prev_l, nxt_l, t, z0, nz, capacity):
-    """Extrema of one shard's slab. cur_h has a 1-plane z halo; z0 is the
-    slab's global z offset; returns (keys, idx_global, count_local)."""
-    L = prev_l.shape[0]
-    ny, nx = prev_l.shape[1], prev_l.shape[2]
 
-    c = cur_h[1:-1, 1:-1, 1:-1]            # (L, ny-2, nx-2) centers
+def _axis_slices(ndim, axis, center_rest):
+    """(plus, minus) neighbor slicers along ``axis``; ``center_rest``
+    slices every other axis to its center range [1:-1]."""
+    plus = list(center_rest)
+    minus = list(center_rest)
+    plus[axis] = slice(2, None)
+    minus[axis] = slice(0, -2)
+    return tuple(plus), tuple(minus)
+
+
+def _local_scan(cur_h, prev_l, nxt_l, t, a0, n3, sd, capacity):
+    """Extrema of one shard's slab. cur_h has a 1-plane halo on spatial
+    dim ``sd``; a0 is the slab's global offset along it; returns
+    (keys, idx_global, count_local)."""
+    S = prev_l.shape[sd]                  # local rows of the sharded axis
+    center = [slice(1, -1)] * 3           # halo trim (sd) / interior (rest)
+    c = cur_h[tuple(center)]
     peak_ok = (c > t) | (c < -t)
 
-    cur_n = (cur_h[1:-1, 1:-1, 2:], cur_h[1:-1, 1:-1, :-2],
-             cur_h[1:-1, 2:, 1:-1], cur_h[1:-1, :-2, 1:-1],
-             cur_h[:-2, 1:-1, 1:-1], cur_h[2:, 1:-1, 1:-1])
-    p_c = prev_l[:, 1:-1, 1:-1]
-    n_c = nxt_l[:, 1:-1, 1:-1]
+    prev_center = [slice(1, -1)] * 3
+    prev_center[sd] = slice(None)         # prev/nxt have no halo
+    p_c = prev_l[tuple(prev_center)]
+    n_c = nxt_l[tuple(prev_center)]
 
     is_max = (c > p_c) & (c > n_c)
     is_min = (c < p_c) & (c < n_c)
-    for nb in cur_n:
-        is_max &= c > nb
-        is_min &= c < nb
+    for axis in range(3):
+        plus, minus = _axis_slices(3, axis, center)
+        for nb in (cur_h[plus], cur_h[minus]):
+            is_max &= c > nb
+            is_min &= c < nb
     mask = peak_ok & (is_max | is_min)
 
-    # Global interior bound: z in [1, nz-2].
-    zg = z0 + jnp.arange(L, dtype=jnp.int32)
-    mask &= ((zg >= 1) & (zg <= nz - 2))[:, None, None]
+    # Global coordinate grids over the core (sharded axis: all S local
+    # rows at offset a0, globally interior-masked; others: [1, n-2]).
+    grids = []
+    for d in range(3):
+        if d == sd:
+            g = a0 + jnp.arange(S, dtype=jnp.int32)
+        else:
+            g = 1 + jnp.arange(n3[d] - 2, dtype=jnp.int32)
+        shape = [1, 1, 1]
+        shape[d] = g.shape[0]
+        grids.append(g.reshape(shape))
+    zg, yg, xg = grids
+    mask &= (grids[sd] >= 1) & (grids[sd] <= n3[sd] - 2)
 
-    inner_ny, inner_nx = ny - 2, nx - 2
-    n_glob = (nz - 2) * inner_ny * inner_nx
-    # Global scan-order linear index of local voxel (j, y-1, x-1).
-    ig = ((zg - 1)[:, None, None] * (inner_ny * inner_nx) +
-          jnp.arange(inner_ny, dtype=jnp.int32)[None, :, None] * inner_nx +
-          jnp.arange(inner_nx, dtype=jnp.int32)[None, None, :])
+    inner = tuple(n - 2 for n in n3)
+    n_glob = inner[0] * inner[1] * inner[2]
+    # Global scan-order linear index (z-major, like the reference's scan).
+    ig = ((zg - 1) * (inner[1] * inner[2]) + (yg - 1) * inner[2] +
+          (xg - 1))
+    ig = jnp.broadcast_to(ig, mask.shape)
     flat = mask.reshape(-1)
     key = jnp.where(flat, jnp.int32(n_glob) - ig.reshape(-1), jnp.int32(0))
     count_l = jnp.sum(flat.astype(jnp.int32))
@@ -72,32 +97,40 @@ def _local_scan(cur_h, prev_l, nxt_l, t, z0, nz, capacity):
 def level_extrema_sharded(prev: jax.Array, cur: jax.Array, nxt: jax.Array,
                           peak_thresh: float, capacity: int, mesh: Mesh,
                           axis_name: str = "space",
-                          batch_axis_name: str = "data"):
-    """Sharded-z analog of features.extrema.level_extrema.
+                          batch_axis_name: str = "data",
+                          shard_dim: str = "z"):
+    """Spatially-sharded analog of features.extrema.level_extrema.
 
     Args:
-      prev, cur, nxt: (B, nz, ny, nx) batched DoG levels, z sharded over
-        ``axis_name`` (nz divisible by the axis size).
+      prev, cur, nxt: (B, nz, ny, nx) batched DoG levels, the
+        ``shard_dim`` axis sharded over ``axis_name`` (extent divisible
+        by the axis size).
       capacity: max keypoints per volume.
 
     Returns (zyx (B, capacity, 3) i32, count (B,) i32), identical to the
     unsharded detector (rows in global scan order).
     """
     B, nz, ny, nx = cur.shape
+    sd = _DIMS[shard_dim]
+    n3 = (nz, ny, nx)
     n_sh = mesh.shape[axis_name]
-    assert nz % n_sh == 0, f"nz={nz} not divisible by {n_sh} shards"
-    L = nz // n_sh
+    assert n3[sd] % n_sh == 0, \
+        f"{shard_dim} extent {n3[sd]} not divisible by {n_sh} shards"
+    S = n3[sd] // n_sh
+
+    spec = [batch_axis_name, None, None, None]
+    spec[1 + sd] = axis_name
 
     def local(prev_l, cur_l, nxt_l):
         s = jax.lax.axis_index(axis_name)
         t_local = jnp.max(jnp.abs(cur_l))
         t = jax.lax.pmax(t_local, axis_name) * \
             jnp.asarray(peak_thresh, cur_l.dtype)
-        cur_h = shard_halo(cur_l, 1, axis_name, z_axis=1)
-        z0 = (s * L).astype(jnp.int32)
+        cur_h = shard_halo(cur_l, 1, axis_name, z_axis=1 + sd)
+        a0 = (s * S).astype(jnp.int32)
 
         def one(ph, ch, nh):
-            return _local_scan(ch, ph, nh, t, z0, nz, capacity)
+            return _local_scan(ch, ph, nh, t, a0, n3, sd, capacity)
         vals, idx_g, count_l = jax.vmap(one)(prev_l, cur_h, nxt_l)
 
         # Merge shards: gather each shard's top-capacity keys and re-take
@@ -122,7 +155,7 @@ def level_extrema_sharded(prev: jax.Array, cur: jax.Array, nxt: jax.Array,
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(batch_axis_name, axis_name, None, None),) * 3,
+        in_specs=(P(*spec),) * 3,
         out_specs=(P(batch_axis_name, None, None),
                    P(batch_axis_name)),
         check_vma=False,

@@ -1,4 +1,4 @@
-"""Z-sharded windowed feature stages (SURVEY §5.7 back half).
+"""Spatially-sharded windowed feature stages (SURVEY §5.7 back half).
 
 Orientation windows (radius 3*1.5*sd mm) and descriptor windows (radius
 2*7.07*sd mm) span most of a volume at octave 0, so the halo-replication
@@ -7,11 +7,20 @@ wider than the shard. The TPU-native decomposition is different: both
 stages are *sums over window voxels* - the 3x3 structure tensor / window
 gradient (assign_eig_ori, reference sift3d/sift.c:1354-1514) and the
 64x12 descriptor histogram (extract_descrip, sift.c:1834-1928) - so each
-z-shard accumulates the partial sum over its own z rows (plus a 1-voxel
-ppermute gradient halo) and the partials meet in a tiny `psum` over the
-"space" axis: (K, 6)+(K, 3) for orientation, (K, 768) for descriptors.
-No window voxel is ever replicated across shards; keypoints (a few dozen
-scalars each) are replicated instead of exchanged.
+shard accumulates the partial sum over its own rows of the sharded
+spatial axis (plus a 1-voxel ppermute gradient halo) and the partials
+meet in a tiny `psum` over the "space" axis: (K, 6)+(K, 3) for
+orientation, (K, 768) for descriptors. No window voxel is ever
+replicated across shards; keypoints (a few dozen scalars each) are
+replicated instead of exchanged.
+
+Any spatial axis can be sharded (``shard_dim`` "z"/"y"/"x", like
+shard_conv): the per-voxel terms depend only on *global* coordinate
+grids, so the sharded axis contributes its local rows and the other two
+axes a dynamically-sliced window core - no transposes, no basis
+permutation. x/y sharding matters for thin-z geometries such as the
+y-z-plane mammogram layouts the reference supports
+(/root/reference/imutil/dicom.cpp:494-515).
 
 The per-voxel math mirrors features/orientation._window_terms and
 features/descriptor._descrip_window row-for-row; equality with the
@@ -38,62 +47,95 @@ from ..features.windows import (window_extent, window_gradients,
 from ..ops.geometry import icos_hist_bin, vertex_weights
 from .shard_conv import shard_halo
 
-
-def _local_window(block_ext, sy, sx, cy, cx):
-    """(S+2, cy+2, cx+2) window: all local z rows, dynamic (y, x) core."""
-    # The z start must share sy/sx's dtype: a python 0 weak-types to
-    # int64 under x64, which lax.dynamic_slice rejects.
-    z0 = jnp.zeros((), sy.dtype)
-    return jax.lax.dynamic_slice(
-        block_ext, (z0, sy - 1, sx - 1),
-        (block_ext.shape[0], cy + 2, cx + 2))
+_DIMS = {"z": 0, "y": 1, "x": 2}
 
 
-def orient_level_z_sharded(level: jax.Array, zyx: jax.Array, sd: float,
-                           units, corner_thresh: float, mesh: Mesh,
-                           axis_name: str = "space",
-                           batch_axis_name: str = "data"):
-    """Orientations for one level's keypoints, windows partitioned over z.
+def _space_spec(batch_axis_name: str, axis_name: str, sd: int):
+    """PartitionSpec for a (B, nz, ny, nx) array sharded on spatial
+    dim ``sd`` (0=z, 1=y, 2=x)."""
+    spec = [batch_axis_name, None, None, None]
+    spec[1 + sd] = axis_name
+    return P(*spec)
+
+
+def _shard_window(ext_v, starts, sizes, sd, S):
+    """Slice the per-keypoint window from the halo-extended local block:
+    all local rows (+halo) on the sharded axis, a dynamic core +1-voxel
+    gradient margin on the other two."""
+    sl_starts, sl_sizes = [], []
+    anchor = starts[(sd + 1) % 3]      # any dynamic start, for dtype
+    for d in range(3):
+        if d == sd:
+            sl_starts.append(jnp.zeros((), anchor.dtype))
+            sl_sizes.append(S + 2)
+        else:
+            sl_starts.append(starts[d] - 1)
+            sl_sizes.append(sizes[d] + 2)
+    return jax.lax.dynamic_slice(ext_v, tuple(sl_starts), tuple(sl_sizes))
+
+
+def _grids(starts, sizes, sd, S, a0):
+    """Global-coordinate grids (one per axis, broadcastable to the window
+    core): the sharded axis enumerates its local rows at global offset
+    ``a0``, the others their dynamic window cores."""
+    grids = []
+    for d in range(3):
+        if d == sd:
+            g = a0 + jnp.arange(S, dtype=jnp.int32)
+        else:
+            g = starts[d] + jnp.arange(sizes[d], dtype=jnp.int32)
+        shape = [1, 1, 1]
+        shape[d] = g.shape[0]
+        grids.append(g.reshape(shape))
+    return grids
+
+
+def orient_level_sharded(level: jax.Array, zyx: jax.Array, sd_scale: float,
+                         units, corner_thresh: float, mesh: Mesh,
+                         axis_name: str = "space",
+                         batch_axis_name: str = "data",
+                         shard_dim: str = "z"):
+    """Orientations for one level's keypoints, windows partitioned over
+    the ``shard_dim`` spatial axis.
 
     Args:
-      level: (B, nz, ny, nx) batched level, z sharded over ``axis_name``.
-      zyx: (B, K, 3) int32 keypoint voxel coords (replicated over z).
-    Returns (R (B, K, 3, 3) f32, valid (B, K) bool), replicated over z.
+      level: (B, nz, ny, nx) batched level, ``shard_dim`` sharded over
+        ``axis_name``.
+      zyx: (B, K, 3) int32 keypoint voxel coords (replicated over space).
+    Returns (R (B, K, 3, 3) f32, valid (B, K) bool), space-replicated.
     """
     from ..config import ORI_RAD_FCTR, ORI_SIG_FCTR
 
     B, nz, ny, nx = level.shape
-    sigma = ORI_SIG_FCTR * sd
+    sd = _DIMS[shard_dim]
+    n3 = (nz, ny, nx)
+    sigma = ORI_SIG_FCTR * sd_scale
     rad = sigma * ORI_RAD_FCTR
     Rx, Ry, Rz = window_radii(rad, units)
-    cz = window_extent(Rz, nz, True)
-    cy = window_extent(Ry, ny, True)
-    cx = window_extent(Rx, nx, True)
+    R3 = (Rz, Ry, Rx)
+    c3 = tuple(window_extent(R3[d], n3[d], True) for d in range(3))
     ux, uy, uz = (np.float32(u) for u in units)
+    u3 = (uz, uy, ux)
     n_sh = mesh.shape[axis_name]
-    S = nz // n_sh
-    assert S * n_sh == nz, (nz, n_sh)
+    S = n3[sd] // n_sh
+    assert S * n_sh == n3[sd], (n3[sd], n_sh)
 
     def local(block, zyx_l):
-        z0 = jax.lax.axis_index(axis_name) * S
-        block_ext = shard_halo(block, 1, axis_name, z_axis=1)  # (Bl,S+2,..)
+        a0 = jax.lax.axis_index(axis_name) * S
+        block_ext = shard_halo(block, 1, axis_name, z_axis=1 + sd)
 
         def one(ext_v, row):
-            sz = window_start(row[0], Rz, cz, nz)          # global clamp
-            sy = window_start(row[1], Ry, cy, ny)
-            sx = window_start(row[2], Rx, cx, nx)
-            win = _local_window(ext_v, sy, sx, cy, cx)
-            # Global z of each local core row; owned = inside the global
-            # core range [sz, sz + cz).
-            zg = (z0 + jnp.arange(S, dtype=jnp.int32))[:, None, None]
-            iy = (sy + jnp.arange(cy, dtype=jnp.int32))[None, :, None]
-            ix = (sx + jnp.arange(cx, dtype=jnp.int32))[None, None, :]
-            owned = (zg >= sz) & (zg < sz + cz)
-            in_box = ((ix >= row[2] - Rx) & (ix <= row[2] + Rx) &
-                      (iy >= row[1] - Ry) & (iy <= row[1] + Ry) &
+            starts = [window_start(row[d], R3[d], c3[d], n3[d])
+                      for d in range(3)]
+            win = _shard_window(ext_v, starts, c3, sd, S)
+            zg, yg, xg = _grids(starts, c3, sd, S, a0)
+            owned = (([zg, yg, xg][sd] >= starts[sd]) &
+                     ([zg, yg, xg][sd] < starts[sd] + c3[sd]))
+            in_box = ((xg >= row[2] - Rx) & (xg <= row[2] + Rx) &
+                      (yg >= row[1] - Ry) & (yg <= row[1] + Ry) &
                       (zg >= row[0] - Rz) & (zg <= row[0] + Rz))
-            ddx = (ix - row[2]).astype(jnp.float32) * ux
-            ddy = (iy - row[1]).astype(jnp.float32) * uy
+            ddx = (xg - row[2]).astype(jnp.float32) * ux
+            ddy = (yg - row[1]).astype(jnp.float32) * uy
             ddz = (zg - row[0]).astype(jnp.float32) * uz
             sq = ddx * ddx + ddy * ddy + ddz * ddz
             mask = owned & in_box & (sq <= jnp.float32(rad) ** 2)
@@ -118,7 +160,7 @@ def orient_level_z_sharded(level: jax.Array, zyx: jax.Array, sd: float,
 
     A6, vd = shard_map(
         local, mesh=mesh,
-        in_specs=(P(batch_axis_name, axis_name, None, None),
+        in_specs=(_space_spec(batch_axis_name, axis_name, sd),
                   P(batch_axis_name)),
         out_specs=(P(batch_axis_name), P(batch_axis_name)),
         check_vma=False,
@@ -128,48 +170,53 @@ def orient_level_z_sharded(level: jax.Array, zyx: jax.Array, sd: float,
     return R, valid
 
 
-def descrip_level_z_sharded(level: jax.Array, centers_zyx: jax.Array,
-                            Rmat: jax.Array, sd: float, units,
-                            mesh: Mesh, axis_name: str = "space",
-                            batch_axis_name: str = "data") -> jax.Array:
-    """Descriptors for one level's keypoints, windows partitioned over z.
+def orient_level_z_sharded(level, zyx, sd, units, corner_thresh, mesh,
+                           axis_name: str = "space",
+                           batch_axis_name: str = "data"):
+    """Back-compat alias: z-sharded orientation windows."""
+    return orient_level_sharded(level, zyx, sd, units, corner_thresh,
+                                mesh, axis_name, batch_axis_name, "z")
+
+
+def descrip_level_sharded(level: jax.Array, centers_zyx: jax.Array,
+                          Rmat: jax.Array, sd_scale: float, units,
+                          mesh: Mesh, axis_name: str = "space",
+                          batch_axis_name: str = "data",
+                          shard_dim: str = "z") -> jax.Array:
+    """Descriptors for one level's keypoints, windows partitioned over
+    the ``shard_dim`` spatial axis.
 
     Args:
-      level: (B, nz, ny, nx) batched level, z sharded over ``axis_name``.
+      level: (B, nz, ny, nx) batched level, ``shard_dim`` sharded over
+        ``axis_name``.
       centers_zyx: (B, K, 3) f32 fractional centers; Rmat: (B, K, 3, 3).
-    Returns (B, K, 768) f32 postprocessed descriptors, z-replicated.
+    Returns (B, K, 768) f32 postprocessed descriptors, space-replicated.
     """
     B, nz, ny, nx = level.shape
-    sigma = np.float32(sd) * np.float32(DESC_SIG_FCTR)
+    sd = _DIMS[shard_dim]
+    n3 = (nz, ny, nx)
+    sigma = np.float32(sd_scale) * np.float32(DESC_SIG_FCTR)
     rad = np.float32(DESC_RAD_FCTR) * sigma
-    Rz = int(math.ceil(float(rad) / units[2]))
-    Ry = int(math.ceil(float(rad) / units[1]))
-    Rx = int(math.ceil(float(rad) / units[0]))
-    cz = window_extent(Rz, nz, False)
-    cy = window_extent(Ry, ny, False)
-    cx = window_extent(Rx, nx, False)
+    R3 = tuple(int(math.ceil(float(rad) / units[2 - d])) for d in range(3))
+    c3 = tuple(window_extent(R3[d], n3[d], False) for d in range(3))
     ux, uy, uz = (np.float32(u) for u in units)
     n_sh = mesh.shape[axis_name]
-    S = nz // n_sh
-    assert S * n_sh == nz, (nz, n_sh)
+    S = n3[sd] // n_sh
+    assert S * n_sh == n3[sd], (n3[sd], n_sh)
 
     def local(block, centers_l, R_l):
-        z0 = jax.lax.axis_index(axis_name) * S
-        block_ext = shard_halo(block, 1, axis_name, z_axis=1)
+        a0 = jax.lax.axis_index(axis_name) * S
+        block_ext = shard_halo(block, 1, axis_name, z_axis=1 + sd)
 
         def one(ext_v, c, Rk):
             czf, cyf, cxf = c[0], c[1], c[2]
-            bz = jnp.floor(czf).astype(jnp.int32)
-            by = jnp.floor(cyf).astype(jnp.int32)
-            bx = jnp.floor(cxf).astype(jnp.int32)
-            sz = window_start(bz, Rz, cz, nz)
-            sy = window_start(by, Ry, cy, ny)
-            sx = window_start(bx, Rx, cx, nx)
-            win = _local_window(ext_v, sy, sx, cy, cx)
-            zg = (z0 + jnp.arange(S, dtype=jnp.int32))[:, None, None]
-            yg = (sy + jnp.arange(cy, dtype=jnp.int32))[None, :, None]
-            xg = (sx + jnp.arange(cx, dtype=jnp.int32))[None, None, :]
-            owned = (zg >= sz) & (zg < sz + cz)
+            base = [jnp.floor(c[d]).astype(jnp.int32) for d in range(3)]
+            starts = [window_start(base[d], R3[d], c3[d], n3[d])
+                      for d in range(3)]
+            win = _shard_window(ext_v, starts, c3, sd, S)
+            zg, yg, xg = _grids(starts, c3, sd, S, a0)
+            owned = (([zg, yg, xg][sd] >= starts[sd]) &
+                     ([zg, yg, xg][sd] < starts[sd] + c3[sd]))
 
             vx = (xg.astype(jnp.float32) - cxf.astype(jnp.float32)) * ux
             vy = (yg.astype(jnp.float32) - cyf.astype(jnp.float32)) * uy
@@ -201,7 +248,7 @@ def descrip_level_z_sharded(level: jax.Array, centers_zyx: jax.Array,
             gry = Rt[1, 0] * gx + Rt[1, 1] * gy + Rt[1, 2] * gz
             grz = Rt[2, 0] * gx + Rt[2, 1] * gy + Rt[2, 2] * gz
 
-            V = S * cy * cx
+            V = int(np.prod([S if d == sd else c3[d] for d in range(3)]))
             grad_rot = jnp.stack([grx.reshape(V), gry.reshape(V),
                                   grz.reshape(V)], -1)
             face, bary, ok = icos_hist_bin(grad_rot)
@@ -232,9 +279,17 @@ def descrip_level_z_sharded(level: jax.Array, centers_zyx: jax.Array,
 
     raw = shard_map(
         local, mesh=mesh,
-        in_specs=(P(batch_axis_name, axis_name, None, None),
+        in_specs=(_space_spec(batch_axis_name, axis_name, sd),
                   P(batch_axis_name), P(batch_axis_name)),
         out_specs=P(batch_axis_name),
         check_vma=False,
     )(level, centers_zyx.astype(jnp.float32), Rmat.astype(jnp.float32))
     return jax.vmap(postprocess)(raw)
+
+
+def descrip_level_z_sharded(level, centers_zyx, Rmat, sd, units, mesh,
+                            axis_name: str = "space",
+                            batch_axis_name: str = "data") -> jax.Array:
+    """Back-compat alias: z-sharded descriptor windows."""
+    return descrip_level_sharded(level, centers_zyx, Rmat, sd, units,
+                                 mesh, axis_name, batch_axis_name, "z")
