@@ -64,12 +64,12 @@ def _get_lib():
     lib.s3d_dcm_dso_read.restype = c.c_int
     lib.s3d_dcm_dso_read.argtypes = [c.c_char_p, c.c_char_p, f32p]
     lib.s3d_dcm_write.restype = c.c_int
-    lib.s3d_dcm_write.argtypes = [c.c_char_p, f32p] + [c.c_int] * 3 + \
+    lib.s3d_dcm_write.argtypes = [c.c_char_p, f32p] + [c.c_int] * 4 + \
         [c.c_double] * 3 + [c.c_char_p, c.c_int]
     lib.s3d_dcm_write_jpegls.restype = c.c_int
     lib.s3d_dcm_write_jpegls.argtypes = lib.s3d_dcm_write.argtypes
     lib.s3d_dcm_write_dir.restype = c.c_int
-    lib.s3d_dcm_write_dir.argtypes = [c.c_char_p, f32p] + [c.c_int] * 3 + \
+    lib.s3d_dcm_write_dir.argtypes = [c.c_char_p, f32p] + [c.c_int] * 4 + \
         [c.c_double] * 3
     _lib = lib
     return _lib
@@ -96,10 +96,13 @@ def _read(path: str, query_fn: str, read_fn: str) -> Volume:
     dims = np.zeros(4, np.int32)
     units = np.zeros(3, np.float64)
     _check(lib, getattr(lib, query_fn)(path.encode(), dims, units))
-    nx, ny, nz, _ = (int(d) for d in dims)
-    out = np.zeros(nz * ny * nx, np.float32)
+    nx, ny, nz, nc = (int(d) for d in dims)
+    out = np.zeros(nz * ny * nx * nc, np.float32)
     _check(lib, getattr(lib, read_fn)(path.encode(), out))
-    return Volume(out.reshape(nz, ny, nx), tuple(units))
+    data = out.reshape(nz, ny, nx, nc)
+    if nc == 1:
+        data = data[..., 0]
+    return Volume(data, tuple(units))
 
 
 def read_dcm(path: str) -> Volume:
@@ -142,14 +145,18 @@ def read_dcm_dir(path: str) -> Volume:
 
 def _prep_write(vol: Volume):
     data = np.ascontiguousarray(vol.data, np.float32)
-    if data.ndim == 4:
-        if data.shape[3] != 1:
-            raise UnsupportedFileTypeError(
-                "only single-channel DICOM write is supported")
-        data = data[..., 0]
-    nz, ny, nx = data.shape
+    if data.ndim == 3:
+        data = data[..., None]
+    nz, ny, nx, nc = data.shape
+    if nc not in (1, 3):
+        # 1 channel writes MONOCHROME2; 3 write interleaved RGB - working
+        # color support where the reference only declares it
+        # (write_dcm_cpp rejects nc != 1 before its RGB branch,
+        # dicom.cpp:1491-1495,1525-1535).
+        raise UnsupportedFileTypeError(
+            f"only 1- or 3-channel DICOM write is supported (got {nc})")
     ux, uy, uz = vol.units
-    return data, nx, ny, nz, ux, uy, uz
+    return data, nx, ny, nz, nc, ux, uy, uz
 
 
 def write_dcm(path: str, vol: Volume, series_uid: str = "",
@@ -163,9 +170,9 @@ def write_dcm(path: str, vol: Volume, series_uid: str = "",
     (reference dicom.cpp:1748). Pixel values are identical either way
     (the codec is lossless); only the on-disk encoding changes."""
     lib = _get_lib()
-    data, nx, ny, nz, ux, uy, uz = _prep_write(vol)
+    data, nx, ny, nz, nc, ux, uy, uz = _prep_write(vol)
     fn = lib.s3d_dcm_write_jpegls if lossless_jpeg else lib.s3d_dcm_write
-    _check(lib, fn(path.encode(), data, nx, ny, nz, ux, uy, uz,
+    _check(lib, fn(path.encode(), data, nx, ny, nz, nc, ux, uy, uz,
                    series_uid.encode(), instance_num))
 
 
@@ -173,6 +180,6 @@ def write_dcm_dir(path: str, vol: Volume) -> None:
     """Write a directory of single-slice DICOM files (write_dcm_dir,
     dicom.cpp:1449-1481)."""
     lib = _get_lib()
-    data, nx, ny, nz, ux, uy, uz = _prep_write(vol)
+    data, nx, ny, nz, nc, ux, uy, uz = _prep_write(vol)
     _check(lib, lib.s3d_dcm_write_dir(path.encode(), data, nx, ny, nz,
-                                      ux, uy, uz))
+                                      nc, ux, uy, uz))

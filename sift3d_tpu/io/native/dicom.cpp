@@ -90,6 +90,7 @@ const Tag kImagePosition    {0x0020, 0x0032};
 const Tag kImageOrientation {0x0020, 0x0037};
 const Tag kSliceThickness   {0x0018, 0x0050};
 const Tag kSamplesPerPixel  {0x0028, 0x0002};
+const Tag kPlanarConfig     {0x0028, 0x0006};
 const Tag kNumberOfFrames   {0x0028, 0x0008};
 const Tag kRows             {0x0028, 0x0010};
 const Tag kColumns          {0x0028, 0x0011};
@@ -210,7 +211,7 @@ struct DcmFile {
     bool has_thickness = false;
     double rescale_slope = 1, rescale_intercept = 0;
     int rows = 0, cols = 0, frames = 1, nc = 1;
-    int bits_alloc = 8, pixel_rep = 0;
+    int bits_alloc = 8, pixel_rep = 0, planar = 0;
     std::vector<uint8_t> pixel_data;
     // Encapsulated (compressed) pixel data: raw fragments + the Basic
     // Offset Table, decoded into pixel_data after the dataset walk.
@@ -1033,6 +1034,7 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
         else if (t == kColumns) f.cols = (int)as_us();
         else if (t == kNumberOfFrames) f.frames = std::max(1, (int)as_int());
         else if (t == kSamplesPerPixel) f.nc = std::max(1, (int)as_us());
+        else if (t == kPlanarConfig) f.planar = (int)as_us();
         else if (t == kBitsAllocated) f.bits_alloc = (int)as_us();
         else if (t == kPixelRep) f.pixel_rep = (int)as_us();
         else if (t == kPixelData) {
@@ -1212,14 +1214,27 @@ int compute_geometry(const DcmFile &f, Geometry &g, const char *path) {
     return S3D_SUCCESS;
 }
 
-// Copy decoded pixels into a (nz, ny, nx) float volume with the
+// Copy decoded pixels into a (nz, ny, nx[, nc]) float volume with the
 // reference's sign-flip semantics (read_dcm_img, dicom.cpp:867-921).
+// Multi-sample (RGB) images must be pixel-interleaved
+// (PlanarConfiguration 0), matching what write_single emits; this
+// exceeds the reference, whose write_dcm_cpp declares an RGB branch but
+// rejects nc != 1 before reaching it (dicom.cpp:1491-1495,1525-1535).
 int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
                 const char *path) {
-    const int nx = f.cols, ny = f.rows, nz = f.frames;
-    const size_t n = (size_t)nx * ny * nz;
-    if (f.nc != 1) {
-        set_err("%s: only single-channel DICOM is supported", path);
+    const int nx = f.cols, ny = f.rows, nz = f.frames, nc = f.nc;
+    const size_t n = (size_t)nx * ny * nz * nc;
+    if (nc != 1 && nc != 3) {
+        set_err("%s: only 1- or 3-channel DICOM is supported", path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    if (nc == 3 && f.planar != 0) {
+        set_err("%s: planar (non-interleaved) RGB is not supported",
+                path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    if (nc == 3 && f.bits_alloc == 1) {
+        set_err("%s: 1-bit RGB is not supported", path);
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
     size_t bytes = f.bits_alloc == 1 ? (n + 7) / 8
@@ -1255,18 +1270,19 @@ int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
     }
 
     const double slope = f.rescale_slope, inter = f.rescale_intercept;
-    auto store = [&](int x, int y, int z, double v) {
+    auto store = [&](int x, int y, int z, int c, double v) {
         int xi = x * signs[0] + offsets[0];
         int yi = y * signs[1] + offsets[1];
         int zi = z * signs[2] + offsets[2];
-        out[(size_t)zi * nx * ny + (size_t)yi * nx + xi] =
+        out[(((size_t)zi * ny + yi) * nx + xi) * nc + c] =
             (float)((v * slope + inter) * suv);
     };
     const uint8_t *d = f.pixel_data.data();
     for (int z = 0; z < nz; z++)
         for (int y = 0; y < ny; y++)
-            for (int x = 0; x < nx; x++) {
-                size_t i = (size_t)z * nx * ny + (size_t)y * nx + x;
+            for (int xc = 0; xc < nx * nc; xc++) {
+                const int x = xc / nc, c = xc % nc;
+                size_t i = ((size_t)z * ny + y) * nx * nc + xc;
                 double v;
                 switch (f.bits_alloc) {
                 case 1:
@@ -1298,7 +1314,7 @@ int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
                     set_err("%s: unsupported bit depth", path);
                     return S3D_UNSUPPORTED_FILE_TYPE;
                 }
-                store(x, y, z, v);
+                store(x, y, z, c, v);
             }
     return S3D_SUCCESS;
 }
@@ -1372,12 +1388,25 @@ int write_single(const char *path, const float *data, int nx, int ny,
                  int nz, double ux, double uy, double uz,
                  unsigned instance_num, const char *series_uid,
                  const char *instance_uid, float max_val,
-                 bool jpeg = false) {
+                 bool jpeg = false, int nc = 1) {
     char buf[256];
 
+    if (nc != 1 && nc != 3) {
+        set_err("%s: only 1- or 3-channel DICOM write is supported",
+                path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    if (nc == 3 && jpeg) {
+        set_err("%s: JPEG-encapsulated RGB write is not supported", path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+
     // Pixel payload: scale to 8 bits by 255/max (write_dcm_cpp,
-    // dicom.cpp:1712-1745); negative voxels are an error.
-    const size_t n = (size_t)nx * ny * nz;
+    // dicom.cpp:1712-1745); negative voxels are an error. RGB data is
+    // pixel-interleaved ((z, y, x, c) C-order input = PlanarConfiguration
+    // 0), PhotometricInterpretation "RGB" like the reference's declared
+    // (but unreachable, dicom.cpp:1491-1495) color branch.
+    const size_t n = (size_t)nx * ny * nz * nc;
     float im_max = max_val;
     if (im_max < 0.0f) {
         im_max = 0.0f;
@@ -1437,9 +1466,9 @@ int write_single(const char *path, const float *data, int nx, int ny,
     snprintf(buf, sizeof(buf), "%f", uz);
     w.str(kSliceThickness, "DS", buf);
 
-    w.us(kSamplesPerPixel, 1);
-    w.str({0x0028, 0x0004}, "CS", "MONOCHROME2");
-    w.str({0x0028, 0x0006}, "CS", "0");          // PlanarConfiguration
+    w.us(kSamplesPerPixel, (uint16_t)nc);
+    w.str({0x0028, 0x0004}, "CS", nc == 3 ? "RGB" : "MONOCHROME2");
+    w.us(kPlanarConfig, 0);                      // interleaved pixels
     snprintf(buf, sizeof(buf), "%d", nz);
     w.str(kNumberOfFrames, "IS", buf);
     w.us(kRows, (uint16_t)ny);
@@ -1655,12 +1684,20 @@ int s3d_dcm_dir_read(const char *dirpath, float *out) {
                 sort_axis == 0 ? "x" : "y");
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
-    size_t plane = (size_t)d[0] * d[1];
+    const int nc0 = slices[0].f.nc;
+    size_t plane = (size_t)d[0] * d[1] * nc0;
     size_t off = 0;
     for (auto &s : slices) {
         DcmFile f;
         ret = parse_file(s.path.c_str(), f, true);
         if (ret != S3D_SUCCESS) return ret;
+        if (f.nc != nc0) {
+            // The reference rejects mixed channel counts the same way
+            // (read_directory_cpp, dicom.cpp:1328-1335).
+            set_err("%s: slice channel count differs from the series",
+                    s.path.c_str());
+            return S3D_FAILURE;
+        }
         ret = copy_pixels(f, s.g, out + off, s.path.c_str());
         if (ret != S3D_SUCCESS) return ret;
         off += plane * f.frames;
@@ -1732,28 +1769,35 @@ int s3d_dcm_dso_read(const char *dso_path, const char *im_dir,
     return S3D_SUCCESS;
 }
 
-/* Write a single multi-frame 8-bit DICOM file. series_uid may be NULL or
- * empty (a fresh UID is generated); instance_num defaults to 1 when <= 0. */
+/* Write a single multi-frame 8-bit DICOM file; data is (nz, ny, nx, nc)
+ * C-order (nc 1 = MONOCHROME2, 3 = interleaved RGB). series_uid may be
+ * NULL or empty (a fresh UID is generated); instance_num defaults to 1
+ * when <= 0. */
 int s3d_dcm_write(const char *path, const float *data, int nx, int ny,
-                  int nz, double ux, double uy, double uz,
+                  int nz, int nc, double ux, double uy, double uz,
                   const char *series_uid, int instance_num) {
     return write_single(path, data, nx, ny, nz, ux, uy, uz,
                         instance_num > 0 ? (unsigned)instance_num : 1u,
-                        series_uid ? series_uid : "", "", -1.0f);
+                        series_uid ? series_uid : "", "", -1.0f, false,
+                        nc);
 }
 
 int s3d_dcm_write_jpegls(const char *path, const float *data, int nx,
-                         int ny, int nz, double ux, double uy, double uz,
-                         const char *series_uid, int instance_num) {
+                         int ny, int nz, int nc, double ux, double uy,
+                         double uz, const char *series_uid,
+                         int instance_num) {
     g_err[0] = 0;
     return write_single(path, data, nx, ny, nz, ux, uy, uz,
                         instance_num > 0 ? (unsigned)instance_num : 1u,
-                        series_uid ? series_uid : "", "", -1.0f, true);
+                        series_uid ? series_uid : "", "", -1.0f, true,
+                        nc);
 }
 
-/* Write a directory of single-slice DICOM files (%0Nd.dcm). */
+/* Write a directory of single-slice DICOM files (%0Nd.dcm); data is
+ * (nz, ny, nx, nc) C-order. */
 int s3d_dcm_write_dir(const char *dirpath, const float *data, int nx,
-                      int ny, int nz, double ux, double uy, double uz) {
+                      int ny, int nz, int nc, double ux, double uy,
+                      double uz) {
     struct stat st;
     if (stat(dirpath, &st)) {
         if (mkdir(dirpath, 0777)) {
@@ -1762,7 +1806,7 @@ int s3d_dcm_write_dir(const char *dirpath, const float *data, int nx,
         }
     }
     float max_val = 0.0f;
-    size_t n = (size_t)nx * ny * nz;
+    size_t n = (size_t)nx * ny * nz * nc;
     for (size_t i = 0; i < n; i++)
         max_val = std::max(max_val, std::fabs(data[i]));
 
@@ -1772,10 +1816,11 @@ int s3d_dcm_write_dir(const char *dirpath, const float *data, int nx,
         char name[64];
         snprintf(name, sizeof(name), "%0*d.dcm", num_zeros, i);
         std::string full = std::string(dirpath) + "/" + name;
-        int ret = write_single(full.c_str(), data + (size_t)i * nx * ny,
+        int ret = write_single(full.c_str(),
+                               data + (size_t)i * nx * ny * nc,
                                nx, ny, 1, ux, uy, uz,
                                (unsigned)(i + 1), series.c_str(),
-                               gen_uid().c_str(), max_val);
+                               gen_uid().c_str(), max_val, false, nc);
         if (ret != S3D_SUCCESS) return ret;
     }
     return S3D_SUCCESS;

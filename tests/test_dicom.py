@@ -804,3 +804,38 @@ def test_jpeg_malformed_streams_rejected(tmp_path, rng):
     bad[sof + 4] = 200
     with pytest.raises(Exception, match="precision"):
         dicom.read_dcm(write_patched("p200.dcm", bytes(bad)))
+
+
+def test_dcm_rgb_roundtrip(tmp_path, rng):
+    """3-channel (RGB) write + read: interleaved samples, SamplesPerPixel
+    3, PhotometricInterpretation RGB. Working color support where the
+    reference only declares it (write_dcm_cpp rejects nc != 1 before its
+    RGB branch, dicom.cpp:1491-1495,1525-1535)."""
+    vol = rng.random((4, 6, 5, 3)).astype(np.float32)
+    path = str(tmp_path / "rgb.dcm")
+    dicom.write_dcm(path, Volume(vol, (1.0, 1.0, 2.0)))
+    back = dicom.read_dcm(path)
+    assert back.data.shape == (4, 6, 5, 3)
+    assert back.units == (1.0, 1.0, 2.0)
+    _roundtrip_close(back.data, vol)
+
+
+def test_dcm_rgb_dir_roundtrip(tmp_path, rng):
+    vol = rng.random((4, 5, 6, 3)).astype(np.float32)
+    d = str(tmp_path / "rgbseries")
+    dicom.write_dcm_dir(d, Volume(vol))
+    back = dicom.read_dcm_dir(d)
+    assert back.data.shape == (4, 5, 6, 3)
+    _roundtrip_close(back.data, vol)
+
+
+def test_dcm_rgb_unsupported_channel_counts(tmp_path, rng):
+    from sift3d_tpu.io.errors import UnsupportedFileTypeError
+
+    vol = rng.random((2, 3, 4, 2)).astype(np.float32)
+    with pytest.raises(UnsupportedFileTypeError):
+        dicom.write_dcm(str(tmp_path / "c2.dcm"), Volume(vol))
+    rgb = rng.random((2, 3, 4, 3)).astype(np.float32)
+    with pytest.raises(UnsupportedFileTypeError):
+        dicom.write_dcm(str(tmp_path / "c3.dcm"), Volume(rgb),
+                        lossless_jpeg=True)
