@@ -11,12 +11,15 @@ parallel.pipeline).
 Metric: registered pairs/second, steady state, min of 5 timed batch runs
 (the tunneled TPU adds run-to-run jitter).
 
-Quality gate (calibrated round 3 against the C reference on IDENTICAL
-data via benches/calibrate_bench_gate.py): >= 85% of pairs must satisfy
-the reference's own accuracy contract - affine linear part within 5e-2
-and translation within 5 voxels elementwise (Sift3DTest.m:319-324).
-Round-2's 1-voxel gate was unpassable by the reference itself (and
-isotropic-blob data was unregistrable by either side; see benches/data).
+Quality gate (re-calibrated round 4 over ALL 64 bench pairs via
+benches/calibrate_bench_gate.py 64): pairs must satisfy the reference's
+own accuracy contract - affine linear part within 5e-2 and translation
+within 5 voxels elementwise (Sift3DTest.m:319-324) - at a rate no lower
+than the reference's own demonstrated rate minus binomial noise. The C
+reference passes 45/64 = 70.3% (sigma = sqrt(p(1-p)/64) = 5.7%); the
+gate is 0.60 ~= p - 1.8*sigma. Round 3's 85% gate was set from the
+first-16 sample (87.5%) and would have FAILED the reference itself over
+the full set; round-2's 1-voxel gate was unpassable by either side.
 
 Also asserts, compiled on the real chip: the Pallas descriptor window
 kernel within 2e-3 of the XLA path (the golden contract, PARITY.md #21)
@@ -45,7 +48,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from benches.data import SHIFT, make_pairs, pair_ok  # noqa: E402
 
-BASELINE_PAIRS_PER_S = 0.313   # C reference, this host (BASELINE.md r3)
+BASELINE_PAIRS_PER_S = 0.313   # C reference, this host (BASELINE.md r3;
+                               # confirmed at n=64: 0.3118, r4)
+# Minimum fraction of pairs passing the reference's 5e-2/5-vox contract:
+# the reference's own full-set rate (70.3%, n=64) minus ~1.8 binomial
+# sigma, so one unlucky tail can't fail a healthy run (BASELINE.md r4).
+GATE_PASS_RATE = 0.60
 
 B = int(os.environ.get("SIFT3D_BENCH_B", "64"))   # override for smoke runs
 SHAPE = (64, 64, 64)
@@ -162,10 +170,11 @@ def main():
     good = ok & pair_ok(A)
     t_err = np.abs(A[:, :, 3] - np.array([-SHIFT, 0.0, 0.0])).max(1)
     _err(f"gate: {good.mean():.0%} pairs pass the reference contract "
-         f"(median |t| err {np.median(t_err):.2f} vox)")
-    assert good.mean() >= 0.85, \
+         f"(median |t| err {np.median(t_err):.2f} vox; C reference "
+         f"itself: 70.3% on these pairs)")
+    assert good.mean() >= GATE_PASS_RATE, \
         f"quality gate: only {good.mean():.0%} pairs pass the " \
-        "reference's 5e-2/5-vox contract"
+        f"reference's 5e-2/5-vox contract (gate {GATE_PASS_RATE:.0%})"
 
     times = []
     for _ in range(5):

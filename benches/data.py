@@ -64,3 +64,42 @@ def pair_ok(A, shift=SHIFT, t_tol=5.0, lin_tol=5e-2):
     lin = A[..., :, :3] - np.eye(3)
     return (np.abs(t).max(axis=-1) < t_tol) & \
         (np.abs(lin).max(axis=(-1, -2)) < lin_tol)
+
+
+def make_fleet(n_vol=256, n_pts=24, n_out=3, noise=0.02, seed=5):
+    """Config-5-shaped synthetic fleet: n_vol volumes linked by star +
+    loop edges (2*n_vol - 2 edges), each edge carrying n_pts true
+    correspondences under random near-rigid affines plus n_out gross
+    outliers (RANSAC fodder). Returns (edges, src, ref, counts, A_true)
+    with A_true[i] the ground-truth affine mapping volume i into volume
+    0's frame (the groupwise gauge)."""
+    rng = np.random.default_rng(seed)
+    tforms = [(np.eye(3), np.zeros(3))]
+    for _ in range(1, n_vol):
+        R = np.eye(3) + rng.normal(0, 0.02, (3, 3))
+        t = rng.normal(0, 4.0, 3)
+        tforms.append((R, t))
+
+    def into(i, w):
+        R, t = tforms[i]
+        return w @ R.T + t
+
+    def true_A(i):
+        R, t = tforms[i]
+        Ri = np.linalg.inv(R)
+        return np.hstack([Ri, -(Ri @ t)[:, None]])
+
+    star = [(0, i) for i in range(1, n_vol)]
+    loop = [(i, i + 1) for i in range(1, n_vol - 1)] + [(n_vol - 1, 0)]
+    edges = np.array(star + loop)
+    M = n_pts + n_out
+    src = np.zeros((len(edges), M, 3))
+    ref = np.zeros((len(edges), M, 3))
+    for e, (i, j) in enumerate(edges):
+        w = rng.random((n_pts, 3)) * 100
+        src[e, :n_pts] = into(i, w) + rng.normal(0, noise, (n_pts, 3))
+        ref[e, :n_pts] = into(j, w) + rng.normal(0, noise, (n_pts, 3))
+        src[e, n_pts:] = rng.random((n_out, 3)) * 100
+        ref[e, n_pts:] = rng.random((n_out, 3)) * 100
+    counts = np.full(len(edges), M, np.int32)
+    return edges, src, ref, counts, [true_A(i) for i in range(n_vol)]
