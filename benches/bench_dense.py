@@ -67,6 +67,10 @@ def main():
 
     out = jax.block_until_ready(fn(volj))       # warm-up / compile
     assert np.isfinite(np.asarray(out[:, :2, :2, :2])).all()
+    # Release the warm-up result: at 512^3 the (12, V) output is 6 GB,
+    # and holding it across a timed call double-buffers the output on a
+    # 16 GB chip (observed runtime OOM, round 4).
+    del out
 
     times = []
     for _ in range(5):

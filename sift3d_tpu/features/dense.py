@@ -192,12 +192,14 @@ def _splat_compact(smooth: jax.Array, units) -> tuple[jax.Array, jax.Array]:
 
     face, bary, ok = _interior_grad_bin(smooth, units)
     idx = np.asarray(face_tables()["idx"], np.int32)         # (20, 3)
-    # vt_j = idx[face, j] via 20-way select (gather-free).
+    # vt_j = idx[face, j] via 20-way select (gather-free); uint8 (values
+    # 0-11) keeps the persistent splat state at 1 B/voxel/vertex.
     vt = []
     for j in range(3):
-        v = jnp.zeros(smooth.shape, jnp.int32)
+        v = jnp.zeros(smooth.shape, jnp.uint8)
         for f in range(20):
-            v = v + jnp.where(face == f, np.int32(idx[f, j]), 0)
+            v = v + jnp.where(face == f, np.uint8(idx[f, j]),
+                              np.uint8(0))
         vt.append(v)
     w = bary * ok[..., None].astype(jnp.float32)             # (z, y, x, 3)
     return jnp.stack(vt), jnp.moveaxis(w, -1, 0)             # (3, z, y, x)
@@ -210,7 +212,8 @@ def _dense_channels_seq(vol, smooth, units, taps) -> jax.Array:
     vt, w = _splat_compact(smooth, units)
 
     def one_channel(c):
-        w_c = sum(w[j] * (vt[j] == c).astype(jnp.float32) for j in range(3))
+        w_c = sum(w[j] * (vt[j] == c.astype(jnp.uint8)).astype(jnp.float32)
+                  for j in range(3))
         return conv.conv_sep(w_c, taps, 1.0, (1.0, 1.0, 1.0))
 
     blurred = jax.lax.map(one_channel, jnp.arange(12))       # (12, z, y, x)
@@ -223,9 +226,16 @@ def _dense_channels_seq(vol, smooth, units, taps) -> jax.Array:
         jnp.minimum(blurred[c] * inv1, trunc).astype(f64()) ** 2
         for c in range(12)))
     inv2 = (1.0 / (n2 + _DBL_EPSILON)).astype(jnp.float32) * vol
-    return jax.lax.map(
-        lambda c: jnp.minimum(blurred[c] * inv1, trunc) * inv2,
-        jnp.arange(12))
+
+    # Final scaling overwrites ``blurred`` channel-in-place through a
+    # fori_loop carry (dynamic_update_index aliases the buffer), so the
+    # (12, V) result never coexists with a second (12, V) source - at
+    # 512^3 that double buffer alone is 2 x 6.4 GB.
+    def body(c, acc):
+        ch = jax.lax.dynamic_index_in_dim(acc, c, 0, keepdims=False)
+        new = jnp.minimum(ch * inv1, trunc) * inv2
+        return jax.lax.dynamic_update_index_in_dim(acc, new, c, 0)
+    return jax.lax.fori_loop(0, 12, body, blurred)
 
 
 def extract_dense_descriptors(vol: jax.Array,

@@ -253,8 +253,7 @@ def _apply_axis_op(vol: jax.Array, W: np.ndarray, axis: int) -> jax.Array:
     matrices (same crossover as conv_sep), MXU matmul otherwise."""
     n_out, n_in = W.shape
     if n_out == n_in and n_in >= conv.BANDED_MIN_N:
-        offs, diags = conv.matrix_band_diagonals(W)
-        return conv.apply_band(vol, offs, diags, axis)
+        return conv.apply_banded_matrix(vol, W, axis)
     return conv.conv_axis(vol, W, axis)
 
 
