@@ -84,16 +84,39 @@ def main():
     t = min(times)   # min-of-10: the tunneled TPU adds run-to-run jitter
     voxels_per_s = (n ** 3) / t
 
-    # Per-stage roofline from a second timed run split at stage seams.
-    plan = pyr_mod.plan_pyramid(shape, (1.0, 1.0, 1.0), params)
+    # Per-stage roofline: time the H2D transfer and the dense stage-A
+    # program (pyramid -> DoG -> extrema) at their real seams; the
+    # orientation/descriptor windows + host bucketing are the remainder.
+    import jax.numpy as jnp
+    from sift3d_tpu.api import _extrema_fn
+
+    def tmin(f, reps=5):
+        f()
+        return min(_timed(f) for _ in range(reps))
+
+    def _timed(f):
+        t0 = time.perf_counter()
+        f()
+        return time.perf_counter() - t0
+
+    t_h2d = tmin(lambda: jax.block_until_ready(jnp.asarray(vol)))
+    fnA, plan = _extrema_fn(shape, (1.0, 1.0, 1.0), params)
+    volj = jnp.asarray(vol)
+    t_a = tmin(lambda: jax.block_until_ready(fnA(volj)[2]))
+    dense_cost = roofline.pyramid_cost(plan) + roofline.extrema_cost(plan)
     costs = {
-        "pyramid+dog": roofline.pyramid_cost(plan),
-        "extrema": roofline.extrema_cost(plan),
-        "windows": roofline.descriptor_cost(n_kp, 17.0 ** 3),
-        "total": (roofline.pyramid_cost(plan) + roofline.extrema_cost(plan)
-                  + roofline.descriptor_cost(n_kp, 17.0 ** 3)),
+        "h2d": roofline.StageCost(bytes_moved=vol.nbytes),
+        "pyramid+dog+extrema": dense_cost,
+        "windows+host": roofline.descriptor_cost(n_kp, 17.0 ** 3),
+        "total": dense_cost + roofline.descriptor_cost(n_kp, 17.0 ** 3),
     }
-    roof = list(roofline.roofline_report({"total": t}, costs))
+    secs = {"h2d": t_h2d, "pyramid+dog+extrema": t_a, "total": t}
+    # The windows+host remainder is only meaningful when the seams don't
+    # overlap (the fused program streams H2D behind compute, so the
+    # remainder can come out ~zero or negative - skip it then).
+    if t - t_a - t_h2d > 1e-3:
+        secs["windows+host"] = t - t_a - t_h2d
+    roof = list(roofline.roofline_report(secs, costs))
     for rec in roof:
         print(json.dumps(rec), file=sys.stderr, flush=True)
 

@@ -283,9 +283,12 @@ class Sift3D:
         data, vunits = _as_array(im)
         units = tuple(vunits or units)
         fused, plan = _fused_all_fn(data.shape, units, self.params)
-        kp, lvl_counts, desc, overflow, gpyr = fused(jnp.asarray(data))
+        volj = jnp.asarray(data)
+        kp, lvl_counts, desc, overflow, gpyr = fused(volj)
         if bool(overflow):                    # the ONE host sync
-            return self._detect_and_extract_two_stage(data, units)
+            # Hand the DEVICE copy to the fallback: re-transferring the
+            # host volume costs ~1.7 s at 256^3 through the tunnel.
+            return self._detect_and_extract_two_stage(volj, units)
         self._gpyr, self._plan, self._kp = gpyr, plan, kp
         self._lvl_counts = lvl_counts
         self._shape_units = (data.shape, units)

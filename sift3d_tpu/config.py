@@ -55,7 +55,12 @@ class SIFT3DParams:
     # detect+extract path (api.Sift3D.detect_and_extract): the fused
     # program runs at this static cap and falls back to the exact
     # two-stage host-bucketed path when any level overflows it.
-    fused_bucket_cap: int = 64
+    # 512 measured best on the TPU v5e at both 64^3 and 256^3 (round-4
+    # sweep: 64^3 0.143 s vs 0.199 s at 64; 256^3 1.76 s vs 5.15 s -
+    # real volumes routinely exceed 64 extrema/level, and an overflow
+    # fallback re-runs the whole pipeline); 1024 is slightly worse, 256
+    # hits a pathological XLA layout (6.8 s at 256^3).
+    fused_bucket_cap: int = 512
 
     def validate(self) -> None:
         # Mirrors set_*_SIFT3D validation (sift.c:514-580).

@@ -58,7 +58,13 @@ def test_validate_keypoints_rejects_bad_rotation():
 
 
 def test_detect_and_extract_matches_two_stage():
-    """The fused path must produce the same descriptors as detect+extract."""
+    """The fused path must produce the same descriptors as detect+extract.
+
+    Tolerance is float32 rounding, not bit-exactness: the fused and
+    two-stage programs run the window kernel at different static bucket
+    capacities (fused_bucket_cap vs pow2-of-count), so the compiler may
+    tile the histogram reductions differently (~5e-8 drift observed; the
+    golden contract vs the C reference is 2e-3)."""
     vol = make_blob_volume((32, 32, 32), seed=9)
     sift = Sift3D(SIFT3DParams(max_kp_per_level=1024))
     kp1 = sift.detect(vol)
@@ -67,4 +73,4 @@ def test_detect_and_extract_matches_two_stage():
     n = int(kp1.count)
     assert int(kp2.count) == n
     r1, r2 = d1.to_numpy()[:n], d2.to_numpy()[:n]
-    np.testing.assert_allclose(r2, r1, atol=0)
+    np.testing.assert_allclose(r2, r1, rtol=0, atol=1e-6)
