@@ -39,7 +39,7 @@ print("DRYRUN_OK")
 def test_entry_and_dryrun():
     r = subprocess.run(
         [sys.executable, "-c", _SNIPPET], capture_output=True, text=True,
-        cwd=_REPO, timeout=900,
+        cwd=_REPO, timeout=2400,
         env=dict(os.environ, JAX_PLATFORMS="cpu"))
     assert r.returncode == 0, r.stderr[-3000:]
     assert "ENTRY_OK" in r.stdout
