@@ -55,6 +55,9 @@ enum {
 
 const char *UID_ImplicitLE = "1.2.840.10008.1.2";
 const char *UID_ExplicitLE = "1.2.840.10008.1.2.1";
+// Explicit VR Big Endian (retired, but DCMTK reads it natively so
+// reference-readable archives may carry it).
+const char *UID_ExplicitBE = "1.2.840.10008.1.2.2";
 // JPEG Lossless, Non-Hierarchical (Process 14) and its First-Order
 // Prediction SV1 restriction - the syntax the reference itself writes
 // through DCMTK (reference dicom.cpp:1748) and registers decoders for
@@ -90,6 +93,7 @@ const Tag kImagePosition    {0x0020, 0x0032};
 const Tag kImageOrientation {0x0020, 0x0037};
 const Tag kSliceThickness   {0x0018, 0x0050};
 const Tag kSamplesPerPixel  {0x0028, 0x0002};
+const Tag kPhotometric      {0x0028, 0x0004};
 const Tag kPlanarConfig     {0x0028, 0x0006};
 const Tag kNumberOfFrames   {0x0028, 0x0008};
 const Tag kRows             {0x0028, 0x0010};
@@ -99,6 +103,12 @@ const Tag kBitsAllocated    {0x0028, 0x0100};
 const Tag kPixelRep         {0x0028, 0x0103};
 const Tag kRescaleIntercept {0x0028, 0x1052};
 const Tag kRescaleSlope     {0x0028, 0x1053};
+// Palette Color LUTs (PS3.3 C.7.6.3.1.5-6): per-channel descriptor
+// (entries, first-mapped, bits) + entry data, red/green/blue.
+const Tag kPaletteDesc[3] = {{0x0028, 0x1101}, {0x0028, 0x1102},
+                             {0x0028, 0x1103}};
+const Tag kPaletteData[3] = {{0x0028, 0x1201}, {0x0028, 0x1202},
+                             {0x0028, 0x1203}};
 const Tag kPixelData        {0x7FE0, 0x0010};
 // PET SUV tags (searched into sequences, like DCMTK's searchIntoSub)
 const Tag kRefSeriesSeq     {0x0008, 0x1115};
@@ -127,10 +137,19 @@ struct Element {
 struct Parser {
     const uint8_t *p, *end;
     bool explicit_vr = true;
+    // Explicit VR Big Endian dataset (1.2.840.10008.1.2.2): tag numbers
+    // and lengths are byte-swapped. The file meta group stays LE.
+    bool big_endian = false;
 
     bool avail(size_t n) const { return (size_t)(end - p) >= n; }
-    uint16_t u16() { uint16_t v; memcpy(&v, p, 2); p += 2; return v; }
-    uint32_t u32() { uint32_t v; memcpy(&v, p, 4); p += 4; return v; }
+    uint16_t u16() {
+        uint16_t v; memcpy(&v, p, 2); p += 2;
+        return big_endian ? (uint16_t)((v >> 8) | (v << 8)) : v;
+    }
+    uint32_t u32() {
+        uint32_t v; memcpy(&v, p, 4); p += 4;
+        return big_endian ? __builtin_bswap32(v) : v;
+    }
 
     // Parse one element header; returns length (0xFFFFFFFF = undefined).
     bool header(Tag &tag, std::string &vr, uint32_t &len) {
@@ -212,6 +231,15 @@ struct DcmFile {
     double rescale_slope = 1, rescale_intercept = 0;
     int rows = 0, cols = 0, frames = 1, nc = 1;
     int bits_alloc = 8, pixel_rep = 0, planar = 0;
+    bool big_endian = false;     // Explicit VR Big Endian pixel samples
+    // PhotometricInterpretation (RGB / MONOCHROME* / PALETTE COLOR /
+    // YBR_FULL[_422]); empty when absent.
+    std::string photometric;
+    // Palette Color LUTs: raw descriptor triples (endian-corrected) and
+    // entry bytes, index 0/1/2 = R/G/B.
+    uint16_t pal_desc[3][3] = {{0}};
+    bool has_pal_desc[3] = {false, false, false};
+    std::vector<uint8_t> pal_data[3];
     std::vector<uint8_t> pixel_data;
     // Encapsulated (compressed) pixel data: raw fragments + the Basic
     // Offset Table, decoded into pixel_data after the dataset walk.
@@ -565,10 +593,16 @@ const uint8_t kZigzag[64] = {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
-// Decode one single-component SOF0/SOF1 stream into samples[w*h].
+// Decode one SOF0/SOF1 stream (1 or 3 components, sampling factors 1-2,
+// one interleaved scan) into samples[w*h*ncomp], component-interleaved.
+// Subsampled chroma planes are upsampled by sample replication. The
+// reference decodes through DCMTK's IJG plugin (dipijpeg.h,
+// /root/reference/imutil/dicom.cpp:70,842) but then REJECTS any
+// non-monochrome result (dicom.cpp:575-580); supporting color decode
+// here exceeds the reference.
 bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
                  std::vector<uint16_t> &samples, int *precision,
-                 const char *path) {
+                 const char *path, int *ncomp_out) {
     const uint8_t *p = buf, *end = buf + len;
     auto u16be = [&](const uint8_t *q) {
         return (int)((q[0] << 8) | q[1]);
@@ -583,7 +617,9 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
     bool have_qt[4] = {};
     int P = 0, w = 0, h = 0, ri = 0;
     int sof = 0;
-    int comp_dc = 0, comp_ac = 0, comp_q = 0;
+    struct JComp { int id = 0, hs = 1, vs = 1, tq = 0, td = 0, ta = 0; };
+    JComp comps[3];
+    int ncomp = 0;
     const uint8_t *scan = nullptr;
 
     while (p + 4 <= end) {
@@ -608,20 +644,32 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
             P = q[0];
             h = u16be(q + 1);
             w = u16be(q + 3);
-            if (q[5] != 1) {
-                set_err("%s: only single-component DCT JPEG is "
+            ncomp = q[5];
+            if (ncomp != 1 && ncomp != 3) {
+                set_err("%s: only 1- or 3-component DCT JPEG is "
                         "supported", path);
                 return false;
             }
-            comp_q = q[8] & 15;
-            if (comp_q > 3) {
-                set_err("%s: JPEG quant-table selector out of range",
-                        path);
+            if (seg_avail < (size_t)(6 + 3 * ncomp)) {
+                set_err("%s: truncated JPEG SOF segment", path);
                 return false;
             }
-            if ((q[7] >> 4) != 1 || (q[7] & 15) != 1) {
-                set_err("%s: JPEG subsampling unsupported", path);
-                return false;
+            for (int c = 0; c < ncomp; c++) {
+                comps[c].id = q[6 + 3 * c];
+                comps[c].hs = q[7 + 3 * c] >> 4;
+                comps[c].vs = q[7 + 3 * c] & 15;
+                comps[c].tq = q[8 + 3 * c] & 15;
+                if (comps[c].tq > 3) {
+                    set_err("%s: JPEG quant-table selector out of range",
+                            path);
+                    return false;
+                }
+                if (comps[c].hs < 1 || comps[c].hs > 2 ||
+                    comps[c].vs < 1 || comps[c].vs > 2) {
+                    set_err("%s: JPEG subsampling factor out of the "
+                            "supported 1-2 range", path);
+                    return false;
+                }
             }
         } else if (m == 0xC4) {                  // DHT
             while (q + 17 <= qend) {
@@ -656,20 +704,28 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
             }
             ri = u16be(q);
         } else if (m == 0xDA) {                  // SOS
-            if (seg_avail < 6) {
-                set_err("%s: truncated JPEG SOS segment", path);
+            if (seg_avail < 1 || (int)q[0] != ncomp ||
+                seg_avail < (size_t)(1 + 2 * ncomp + 3)) {
+                set_err("%s: JPEG scan does not cover all frame "
+                        "components in one interleaved pass", path);
                 return false;
             }
-            if (q[0] != 1) {
-                set_err("%s: multi-component JPEG scan unsupported",
-                        path);
-                return false;
-            }
-            comp_dc = q[2] >> 4;
-            comp_ac = q[2] & 15;
-            if (comp_dc > 3 || comp_ac > 3) {
-                set_err("%s: JPEG table selector out of range", path);
-                return false;
+            for (int j = 0; j < ncomp; j++) {
+                const int cs = q[1 + 2 * j];
+                int c = -1;
+                for (int k = 0; k < ncomp; k++)
+                    if (comps[k].id == cs) { c = k; break; }
+                if (c < 0) {
+                    set_err("%s: JPEG scan references an unknown "
+                            "component", path);
+                    return false;
+                }
+                comps[c].td = q[2 + 2 * j] >> 4;
+                comps[c].ta = q[2 + 2 * j] & 15;
+                if (comps[c].td > 3 || comps[c].ta > 3) {
+                    set_err("%s: JPEG table selector out of range", path);
+                    return false;
+                }
             }
             scan = qend;
             break;
@@ -692,83 +748,122 @@ bool jdct_decode(const uint8_t *buf, size_t len, int want_w, int want_h,
                 path);
         return false;
     }
-    if (!have_qt[comp_q]) {
-        set_err("%s: JPEG scan references an undefined quantization "
-                "table", path);
-        return false;
+    for (int c = 0; c < ncomp; c++) {
+        if (!have_qt[comps[c].tq]) {
+            set_err("%s: JPEG scan references an undefined quantization "
+                    "table", path);
+            return false;
+        }
+        if (!dc_tab[comps[c].td].present || !ac_tab[comps[c].ta].present) {
+            set_err("%s: JPEG scan references undefined Huffman tables",
+                    path);
+            return false;
+        }
     }
     if (w != want_w || h != want_h) {
         set_err("%s: JPEG frame size disagrees with Rows/Columns", path);
         return false;
     }
-    if (!dc_tab[comp_dc].present || !ac_tab[comp_ac].present) {
-        set_err("%s: JPEG scan references undefined Huffman tables",
-                path);
-        return false;
-    }
     *precision = P;
+    if (ncomp_out) *ncomp_out = ncomp;
     const int maxval = (1 << P) - 1;
     const int shift = 1 << (P - 1);
-    const int bw = (w + 7) / 8, bh = (h + 7) / 8;
-    samples.assign((size_t)w * h, 0);
+    int hmax = 1, vmax = 1;
+    for (int c = 0; c < ncomp; c++) {
+        hmax = std::max(hmax, comps[c].hs);
+        vmax = std::max(vmax, comps[c].vs);
+    }
+    // MCU grid (T.81 A.2.3). Single-component scans degenerate to one
+    // block per MCU, matching the pre-color single-plane layout.
+    const int mcux = (w + 8 * hmax - 1) / (8 * hmax);
+    const int mcuy = (h + 8 * vmax - 1) / (8 * vmax);
+    int pw[3], ph[3];
+    std::vector<uint16_t> plane[3];
+    for (int c = 0; c < ncomp; c++) {
+        pw[c] = mcux * 8 * comps[c].hs;
+        ph[c] = mcuy * 8 * comps[c].vs;
+        plane[c].assign((size_t)pw[c] * ph[c], 0);
+    }
 
     BitReader br(scan, end);
-    int32_t dc_pred = 0;
+    int32_t dc_pred[3] = {0, 0, 0};
     int until_rst = ri;
-    for (int by = 0; by < bh; by++)
-        for (int bx = 0; bx < bw; bx++) {
+    for (int my = 0; my < mcuy; my++)
+        for (int mx = 0; mx < mcux; mx++) {
             if (ri && !until_rst) {
                 br.align_and_skip_rst();
                 until_rst = ri;
-                dc_pred = 0;
+                for (int c = 0; c < ncomp; c++) dc_pred[c] = 0;
             }
-            double blk[64] = {0};
-            int t = br.decode(dc_tab[comp_dc]);
-            // DCT DC categories stop at 11 (8-bit) / 15 (12-bit); the
-            // lossless-only category-16 convention is invalid here.
-            if (t > (P == 8 ? 11 : 15) || br.bad) {
-                set_err("%s: corrupt JPEG DC code", path);
-                return false;
-            }
-            dc_pred += jls_extend(br.bits(t), t);
-            blk[0] = (double)dc_pred * qt[comp_q][0];
-            for (int k = 1; k < 64;) {
-                int rs = br.decode(ac_tab[comp_ac]);
-                if (br.bad) {
-                    set_err("%s: truncated JPEG entropy data", path);
-                    return false;
-                }
-                int r = rs >> 4, s_ = rs & 15;
-                if (s_ == 0) {
-                    if (r == 15) { k += 16; continue; }   // ZRL
-                    break;                                 // EOB
-                }
-                k += r;
-                if (k > 63) {
-                    set_err("%s: corrupt JPEG AC run", path);
-                    return false;
-                }
-                int32_t v = jls_extend(br.bits(s_), s_);
-                blk[kZigzag[k]] = (double)v * qt[comp_q][k];
-                k++;
-            }
-            double px[64];
-            idct8x8(blk, px);
-            for (int yy = 0; yy < 8; yy++) {
-                int y = by * 8 + yy;
-                if (y >= h) break;
-                for (int xx = 0; xx < 8; xx++) {
-                    int x = bx * 8 + xx;
-                    if (x >= w) break;
-                    double v = px[yy * 8 + xx] + shift;
-                    long iv = std::lround(v);
-                    if (iv < 0) iv = 0;
-                    if (iv > maxval) iv = maxval;
-                    samples[(size_t)y * w + x] = (uint16_t)iv;
-                }
-            }
+            for (int c = 0; c < ncomp; c++)
+                for (int by = 0; by < comps[c].vs; by++)
+                    for (int bx = 0; bx < comps[c].hs; bx++) {
+                        double blk[64] = {0};
+                        const uint16_t *qtc = qt[comps[c].tq];
+                        int t = br.decode(dc_tab[comps[c].td]);
+                        // DCT DC categories stop at 11 (8-bit) / 15
+                        // (12-bit); the lossless-only category-16
+                        // convention is invalid here.
+                        if (t > (P == 8 ? 11 : 15) || br.bad) {
+                            set_err("%s: corrupt JPEG DC code", path);
+                            return false;
+                        }
+                        dc_pred[c] += jls_extend(br.bits(t), t);
+                        blk[0] = (double)dc_pred[c] * qtc[0];
+                        for (int k = 1; k < 64;) {
+                            int rs = br.decode(ac_tab[comps[c].ta]);
+                            if (br.bad) {
+                                set_err("%s: truncated JPEG entropy data",
+                                        path);
+                                return false;
+                            }
+                            int r = rs >> 4, s_ = rs & 15;
+                            if (s_ == 0) {
+                                if (r == 15) { k += 16; continue; }  // ZRL
+                                break;                               // EOB
+                            }
+                            k += r;
+                            if (k > 63) {
+                                set_err("%s: corrupt JPEG AC run", path);
+                                return false;
+                            }
+                            int32_t v = jls_extend(br.bits(s_), s_);
+                            blk[kZigzag[k]] = (double)v * qtc[k];
+                            k++;
+                        }
+                        double px[64];
+                        idct8x8(blk, px);
+                        const int oy = (my * comps[c].vs + by) * 8;
+                        const int ox = (mx * comps[c].hs + bx) * 8;
+                        uint16_t *dst = plane[c].data() +
+                            (size_t)oy * pw[c] + ox;
+                        for (int yy = 0; yy < 8; yy++)
+                            for (int xx = 0; xx < 8; xx++) {
+                                double v = px[yy * 8 + xx] + shift;
+                                long iv = std::lround(v);
+                                if (iv < 0) iv = 0;
+                                if (iv > maxval) iv = maxval;
+                                dst[(size_t)yy * pw[c] + xx] =
+                                    (uint16_t)iv;
+                            }
+                    }
             if (ri) until_rst--;
         }
+
+    // Interleave, upsampling subsampled planes by replication (DCMTK's
+    // IJG plugin uses fancy upsampling; decoded values differ by <=1-2
+    // codes near chroma edges, inside the 8-bit lossy budget).
+    samples.assign((size_t)w * h * ncomp, 0);
+    for (int c = 0; c < ncomp; c++) {
+        const int hs = comps[c].hs, vs = comps[c].vs;
+        for (int y = 0; y < h; y++) {
+            const uint16_t *row = plane[c].data() +
+                (size_t)(y * vs / vmax) * pw[c];
+            uint16_t *out_row = samples.data() + (size_t)y * w * ncomp;
+            for (int x = 0; x < w; x++)
+                out_row[(size_t)x * ncomp + c] = row[x * hs / hmax];
+        }
+    }
     return true;
 }
 
@@ -891,28 +986,39 @@ int decode_encapsulated(DcmFile &f, const char *path) {
     }
 
     const int bytes_per = f.bits_alloc > 8 ? 2 : 1;
-    const size_t frame_px = (size_t)f.rows * f.cols;
-    f.pixel_data.assign(frame_px * nf * bytes_per, 0);
+    const int nc = std::max(1, f.nc);
+    if (nc != 1 && !f.lossy_dct) {
+        set_err("%s: multi-component lossless JPEG is not supported",
+                path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    const size_t frame_sm = (size_t)f.rows * f.cols * nc;
+    f.pixel_data.assign(frame_sm * nf * bytes_per, 0);
     for (int fr = 0; fr < nf; fr++) {
         std::vector<uint8_t> stream;
         for (size_t i = groups[fr].first; i < groups[fr].second; i++)
             stream.insert(stream.end(), f.fragments[i].begin(),
                           f.fragments[i].end());
         std::vector<uint16_t> samples;
-        int P = 0;
+        int P = 0, ncomp = 1;
         const bool ok = f.lossy_dct
             ? jdct_decode(stream.data(), stream.size(), f.cols, f.rows,
-                          samples, &P, path)
+                          samples, &P, path, &ncomp)
             : jls_decode(stream.data(), stream.size(), f.cols, f.rows,
                          samples, &P, path);
         if (!ok)
             return S3D_UNSUPPORTED_FILE_TYPE;
+        if (ncomp != nc) {
+            set_err("%s: JPEG component count disagrees with "
+                    "SamplesPerPixel", path);
+            return S3D_FAILURE;
+        }
         if (P > 8 && bytes_per == 1) {
             set_err("%s: JPEG precision exceeds BitsAllocated=8", path);
             return S3D_FAILURE;
         }
-        uint8_t *dst = f.pixel_data.data() + frame_px * bytes_per * fr;
-        for (size_t i = 0; i < frame_px; i++) {
+        uint8_t *dst = f.pixel_data.data() + frame_sm * bytes_per * fr;
+        for (size_t i = 0; i < frame_sm; i++) {
             if (bytes_per == 1) dst[i] = (uint8_t)samples[i];
             else memcpy(dst + 2 * i, &samples[i], 2);
         }
@@ -962,6 +1068,12 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
     } else if (f.transfer_syntax == UID_ExplicitLE ||
                f.transfer_syntax.empty()) {
         ps.explicit_vr = true;
+    } else if (f.transfer_syntax == UID_ExplicitBE) {
+        // Retired Explicit VR Big Endian: DCMTK reads it natively for
+        // the reference, so archives it accepts may carry it.
+        ps.explicit_vr = true;
+        ps.big_endian = true;
+        f.big_endian = true;
     } else if (f.transfer_syntax == UID_JPEGLosslessSV1 ||
                f.transfer_syntax == UID_JPEGLossless14) {
         ps.explicit_vr = true;
@@ -985,7 +1097,10 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
                        uint32_t len, int depth, bool in_ref_series) {
         auto as_str = [&]() { return trim(std::string((const char *)v, len)); };
         auto as_us = [&]() -> long {
-            if (len == 2) { uint16_t x; memcpy(&x, v, 2); return x; }
+            if (len == 2) {
+                uint16_t x; memcpy(&x, v, 2);
+                return f.big_endian ? (uint16_t)((x >> 8) | (x << 8)) : x;
+            }
             return atol(as_str().c_str());
         };
         auto as_int = [&]() -> long { return atol(as_str().c_str()); };
@@ -1034,11 +1149,25 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
         else if (t == kColumns) f.cols = (int)as_us();
         else if (t == kNumberOfFrames) f.frames = std::max(1, (int)as_int());
         else if (t == kSamplesPerPixel) f.nc = std::max(1, (int)as_us());
+        else if (t == kPhotometric) f.photometric = as_str();
         else if (t == kPlanarConfig) f.planar = (int)as_us();
         else if (t == kBitsAllocated) f.bits_alloc = (int)as_us();
         else if (t == kPixelRep) f.pixel_rep = (int)as_us();
         else if (t == kPixelData) {
             if (want_pixels) f.pixel_data.assign(v, v + len);
+        } else {
+            for (int c = 0; c < 3; c++) {
+                if (t == kPaletteDesc[c] && len >= 6) {
+                    for (int j = 0; j < 3; j++) {
+                        uint16_t x; memcpy(&x, v + 2 * j, 2);
+                        f.pal_desc[c][j] = f.big_endian
+                            ? (uint16_t)((x >> 8) | (x << 8)) : x;
+                    }
+                    f.has_pal_desc[c] = true;
+                } else if (t == kPaletteData[c]) {
+                    f.pal_data[c].assign(v, v + len);
+                }
+            }
         }
     };
 
@@ -1106,14 +1235,16 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
                             if (!walk(pr, depth + 1, sub_ref)) return false;
                         } else {
                             if (!pr.avail(ilen)) return false;
-                            Parser sub{pr.p, pr.p + ilen, pr.explicit_vr};
+                            Parser sub{pr.p, pr.p + ilen, pr.explicit_vr,
+                                       pr.big_endian};
                             if (!walk(sub, depth + 1, sub_ref)) return false;
                             pr.p += ilen;
                         }
                     }
                 } else {
                     if (!pr.avail(len)) return false;
-                    Parser sub{pr.p, pr.p + len, pr.explicit_vr};
+                    Parser sub{pr.p, pr.p + len, pr.explicit_vr,
+                               pr.big_endian};
                     // Items with defined lengths inside; walk handles
                     // the FFFE,E000 headers as plain elements below.
                     for (;;) {
@@ -1127,7 +1258,7 @@ int parse_file(const char *path, DcmFile &f, bool want_pixels) {
                         } else {
                             if (!sub.avail(ilen)) break;
                             Parser isub{sub.p, sub.p + ilen,
-                                        sub.explicit_vr};
+                                        sub.explicit_vr, sub.big_endian};
                             if (!walk(isub, depth + 1, sub_ref))
                                 return false;
                             sub.p += ilen;
@@ -1214,35 +1345,103 @@ int compute_geometry(const DcmFile &f, Geometry &g, const char *path) {
     return S3D_SUCCESS;
 }
 
+// The output channel count of a parsed file: palette-color images carry
+// one stored sample but expand to RGB on read (what DCMTK's DiColorImage
+// would produce; the reference itself REJECTS every non-monochrome read,
+// dicom.cpp:575-580, so all color paths here exceed it).
+int out_nc(const DcmFile &f) {
+    return f.photometric == "PALETTE COLOR" ? 3 : f.nc;
+}
+
 // Copy decoded pixels into a (nz, ny, nx[, nc]) float volume with the
 // reference's sign-flip semantics (read_dcm_img, dicom.cpp:867-921).
-// Multi-sample (RGB) images must be pixel-interleaved
-// (PlanarConfiguration 0), matching what write_single emits; this
-// exceeds the reference, whose write_dcm_cpp declares an RGB branch but
-// rejects nc != 1 before reaching it (dicom.cpp:1491-1495,1525-1535).
+// Color support (all beyond the reference, which rejects color reads at
+// dicom.cpp:575-580): interleaved and planar (PlanarConfiguration 1)
+// RGB, YBR_FULL / YBR_FULL_422 -> RGB conversion (uncompressed and
+// JPEG), and PALETTE COLOR LUT expansion to RGB.
 int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
                 const char *path) {
     const int nx = f.cols, ny = f.rows, nz = f.frames, nc = f.nc;
-    const size_t n = (size_t)nx * ny * nz * nc;
+    const bool palette = f.photometric == "PALETTE COLOR";
+    const bool ybr_full = f.photometric == "YBR_FULL";
+    const bool ybr_422 = f.photometric == "YBR_FULL_422";
+    const int nco = palette ? 3 : nc;
     if (nc != 1 && nc != 3) {
         set_err("%s: only 1- or 3-channel DICOM is supported", path);
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
-    if (nc == 3 && f.planar != 0) {
-        set_err("%s: planar (non-interleaved) RGB is not supported",
-                path);
+    if (palette && nc != 1) {
+        set_err("%s: PALETTE COLOR requires SamplesPerPixel=1", path);
+        return S3D_FAILURE;
+    }
+    if ((ybr_full || ybr_422) && (nc != 3 || f.bits_alloc != 8)) {
+        set_err("%s: YBR photometric requires 3 8-bit samples", path);
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
     if (nc == 3 && f.bits_alloc == 1) {
         set_err("%s: 1-bit RGB is not supported", path);
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
+    // Planar layout survives only on uncompressed streams; encapsulated
+    // frames decode to interleaved samples. Uncompressed YBR_FULL_422
+    // stores 2 samples/pixel groups (Y0 Y1 Cb Cr), always interleaved.
+    const bool planar = nc == 3 && f.planar != 0 && !f.encapsulated;
+    const bool sub422 = ybr_422 && !f.encapsulated;
+    if (sub422 && (nx % 2 || planar)) {
+        set_err("%s: malformed YBR_FULL_422 geometry", path);
+        return S3D_FAILURE;
+    }
+    const size_t n = sub422 ? (size_t)nx * ny * nz * 2
+                            : (size_t)nx * ny * nz * nc;
     size_t bytes = f.bits_alloc == 1 ? (n + 7) / 8
                                       : (size_t)f.bits_alloc / 8 * n;
     if (f.pixel_data.size() < bytes) {
         set_err("%s: pixel data too short", path);
         return S3D_FAILURE;
     }
+
+    // Palette LUTs (PS3.3 C.7.6.3.1.5-6): descriptor = (entries with
+    // 0 meaning 65536, first stored value mapped, bits per entry).
+    struct Lut {
+        long n = 0, first = 0;
+        int bits = 8;
+        const uint8_t *data = nullptr;
+        size_t len = 0;
+    } lut[3];
+    if (palette) {
+        for (int c = 0; c < 3; c++) {
+            if (!f.has_pal_desc[c] || f.pal_data[c].empty()) {
+                set_err("%s: PALETTE COLOR image is missing its LUTs",
+                        path);
+                return S3D_FAILURE;
+            }
+            lut[c].n = f.pal_desc[c][0] == 0 ? 65536 : f.pal_desc[c][0];
+            lut[c].first = f.pixel_rep
+                ? (long)(int16_t)f.pal_desc[c][1] : (long)f.pal_desc[c][1];
+            lut[c].bits = f.pal_desc[c][2];
+            lut[c].data = f.pal_data[c].data();
+            lut[c].len = f.pal_data[c].size();
+            const size_t need = lut[c].bits > 8 ? 2 * (size_t)lut[c].n
+                                                : (size_t)lut[c].n;
+            if (lut[c].len < need) {
+                set_err("%s: palette LUT data shorter than its "
+                        "descriptor", path);
+                return S3D_FAILURE;
+            }
+        }
+    }
+    auto lut_at = [&](const Lut &l, long v) -> double {
+        long idx = v - l.first;
+        if (idx < 0) idx = 0;
+        if (idx >= l.n) idx = l.n - 1;
+        if (l.bits > 8) {
+            uint16_t x;
+            memcpy(&x, l.data + 2 * idx, 2);
+            return f.big_endian ? (double)((x >> 8) | (x << 8))
+                                : (double)x;
+        }
+        return (double)l.data[idx];
+    };
     int dims[3] = {nx, ny, nz};
     int signs[3] = {1, 1, 1}, offsets[3] = {0, 0, 0};
     for (int k = 0; k < 2; k++) {
@@ -1274,47 +1473,75 @@ int copy_pixels(const DcmFile &f, const Geometry &g, float *out,
         int xi = x * signs[0] + offsets[0];
         int yi = y * signs[1] + offsets[1];
         int zi = z * signs[2] + offsets[2];
-        out[(((size_t)zi * ny + yi) * nx + xi) * nc + c] =
+        out[(((size_t)zi * ny + yi) * nx + xi) * nco + c] =
             (float)((v * slope + inter) * suv);
     };
     const uint8_t *d = f.pixel_data.data();
+    if (f.bits_alloc != 1 && f.bits_alloc != 8 && f.bits_alloc != 16 &&
+        f.bits_alloc != 32) {
+        set_err("%s: unsupported bit depth", path);
+        return S3D_UNSUPPORTED_FILE_TYPE;
+    }
+    // Stored sample i as a double (endianness per transfer syntax).
+    auto fetch = [&](size_t i) -> double {
+        switch (f.bits_alloc) {
+        case 1:
+            // Binary segmentation frames: bit-packed, LSB first
+            // (PS3.5 8.1.1; DcmSegmentation unpacks the same way).
+            return (double)((d[i >> 3] >> (i & 7)) & 1);
+        case 8:
+            return f.pixel_rep ? (double)((const int8_t *)d)[i]
+                               : (double)d[i];
+        case 16: {
+            uint16_t x16; memcpy(&x16, d + 2 * i, 2);
+            if (f.big_endian) x16 = (uint16_t)((x16 >> 8) | (x16 << 8));
+            return f.pixel_rep ? (double)(int16_t)x16 : (double)x16;
+        }
+        default: {
+            uint32_t x32; memcpy(&x32, d + 4 * i, 4);
+            if (f.big_endian) x32 = __builtin_bswap32(x32);
+            return f.pixel_rep ? (double)(int32_t)x32 : (double)x32;
+        }
+        }
+    };
+    // Full-range YCbCr -> RGB (PS3.3 C.7.6.3.1.2 / JFIF).
+    auto ycbcr = [](double vals[3]) {
+        const double Y = vals[0], cb = vals[1] - 128, cr = vals[2] - 128;
+        double rgb[3] = {Y + 1.402 * cr,
+                         Y - 0.344136 * cb - 0.714136 * cr,
+                         Y + 1.772 * cb};
+        for (int c = 0; c < 3; c++)
+            vals[c] = rgb[c] < 0 ? 0 : (rgb[c] > 255 ? 255 : rgb[c]);
+    };
+    const bool to_rgb = ybr_full || ybr_422;
     for (int z = 0; z < nz; z++)
         for (int y = 0; y < ny; y++)
-            for (int xc = 0; xc < nx * nc; xc++) {
-                const int x = xc / nc, c = xc % nc;
-                size_t i = ((size_t)z * ny + y) * nx * nc + xc;
-                double v;
-                switch (f.bits_alloc) {
-                case 1:
-                    // Binary segmentation frames: bit-packed, LSB first
-                    // (PS3.5 8.1.1; DcmSegmentation unpacks the same way).
-                    v = (double)((d[i >> 3] >> (i & 7)) & 1);
-                    break;
-                case 8:
-                    v = f.pixel_rep ? (double)((const int8_t *)d)[i]
-                                    : (double)d[i];
-                    break;
-                case 16: {
-                    if (f.pixel_rep) {
-                        int16_t x16; memcpy(&x16, d + 2 * i, 2); v = x16;
-                    } else {
-                        uint16_t x16; memcpy(&x16, d + 2 * i, 2); v = x16;
-                    }
-                    break;
+            for (int x = 0; x < nx; x++) {
+                double vals[3];
+                const size_t px = ((size_t)z * ny + y) * nx + x;
+                if (sub422) {
+                    // Uncompressed 4:2:2: (Y0 Y1 Cb Cr) per 2 pixels.
+                    const size_t grp =
+                        (((size_t)z * ny + y) * nx + (x & ~1)) * 2;
+                    vals[0] = fetch(grp + (x & 1));
+                    vals[1] = fetch(grp + 2);
+                    vals[2] = fetch(grp + 3);
+                } else if (nc == 3) {
+                    for (int c = 0; c < 3; c++)
+                        vals[c] = fetch(planar
+                            ? (((size_t)z * 3 + c) * ny + y) * nx + x
+                            : px * 3 + c);
+                } else if (palette) {
+                    const long v = std::lround(fetch(px));
+                    for (int c = 0; c < 3; c++)
+                        vals[c] = lut_at(lut[c], v);
+                } else {
+                    vals[0] = fetch(px);
                 }
-                case 32: {
-                    if (f.pixel_rep) {
-                        int32_t x32; memcpy(&x32, d + 4 * i, 4); v = x32;
-                    } else {
-                        uint32_t x32; memcpy(&x32, d + 4 * i, 4); v = x32;
-                    }
-                    break;
-                }
-                default:
-                    set_err("%s: unsupported bit depth", path);
-                    return S3D_UNSUPPORTED_FILE_TYPE;
-                }
-                store(x, y, z, c, v);
+                if (to_rgb)
+                    ycbcr(vals);
+                for (int c = 0; c < nco; c++)
+                    store(x, y, z, c, vals[c]);
             }
     return S3D_SUCCESS;
 }
@@ -1637,7 +1864,7 @@ int s3d_dcm_query(const char *path, int *dims4, double *units3) {
     ret = compute_geometry(f, g, path);
     if (ret != S3D_SUCCESS) return ret;
     dims4[0] = f.cols; dims4[1] = f.rows; dims4[2] = f.frames;
-    dims4[3] = f.nc;
+    dims4[3] = out_nc(f);
     for (int k = 0; k < 3; k++) units3[k] = g.units[k];
     return S3D_SUCCESS;
 }
@@ -1662,7 +1889,7 @@ int s3d_dcm_dir_query(const char *dirpath, int *dims4, double *units3) {
     ret = dir_geometry(slices, d, u);
     if (ret != S3D_SUCCESS) return ret;
     dims4[0] = d[0]; dims4[1] = d[1]; dims4[2] = d[2];
-    dims4[3] = slices[0].f.nc;
+    dims4[3] = out_nc(slices[0].f);
     for (int k = 0; k < 3; k++) units3[k] = u[k];
     return S3D_SUCCESS;
 }
@@ -1684,14 +1911,14 @@ int s3d_dcm_dir_read(const char *dirpath, float *out) {
                 sort_axis == 0 ? "x" : "y");
         return S3D_UNSUPPORTED_FILE_TYPE;
     }
-    const int nc0 = slices[0].f.nc;
+    const int nc0 = out_nc(slices[0].f);
     size_t plane = (size_t)d[0] * d[1] * nc0;
     size_t off = 0;
     for (auto &s : slices) {
         DcmFile f;
         ret = parse_file(s.path.c_str(), f, true);
         if (ret != S3D_SUCCESS) return ret;
-        if (f.nc != nc0) {
+        if (out_nc(f) != nc0) {
             // The reference rejects mixed channel counts the same way
             // (read_directory_cpp, dicom.cpp:1328-1335).
             set_err("%s: slice channel count differs from the series",
