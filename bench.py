@@ -164,9 +164,16 @@ def main():
 
     def run():
         res = fn(srcj, refj)
-        return np.asarray(res.A), np.asarray(res.ok)
+        return np.asarray(res.A), np.asarray(res.ok), \
+            np.asarray(res.kp_overflow)
 
-    A, ok = run()                       # warm-up / compile
+    A, ok, kp_ov = run()                # warm-up / compile
+    # No silent keypoint loss: the per-level cap (max_kp_per_level=64)
+    # must hold every bench volume's extrema (the reference's keypoint
+    # store is unbounded; a capped run would not be comparable).
+    assert not kp_ov.any(), \
+        f"{int(kp_ov.sum())}/{B} pairs truncated keypoints at the " \
+        "per-level cap; raise max_kp_per_level"
     good = ok & pair_ok(A)
     t_err = np.abs(A[:, :, 3] - np.array([-SHIFT, 0.0, 0.0])).max(1)
     _err(f"gate: {good.mean():.0%} pairs pass the reference contract "

@@ -121,10 +121,12 @@ def _fused_all_fn(shape_zyx, units, params: SIFT3DParams):
         gpyr = pyr_mod.build_gpyr(scaled, plan)
         dog = pyr_mod.build_dog(gpyr, plan)
         ext = detect_mod.detect_extrema_levels(dog, plan, params)
-        # Overflow: a level filled its optimistic cap while a larger
-        # contract cap exists (truncation at the contract cap itself is
-        # expected behavior, not overflow).
-        over = [(ext[lv][1] >= caps[lv]) for lv in lvls
+        # Overflow: a level found more extrema than its optimistic cap
+        # while a larger contract cap exists (truncation at the contract
+        # cap itself is expected behavior, not overflow). ext[lv][2] is
+        # the UNCLAMPED total, so count == cap with exactly cap extrema
+        # no longer triggers a spurious two-stage fallback.
+        over = [(ext[lv][2] > caps[lv]) for lv in lvls
                 if caps[lv] < full[lv]]
         overflow = jnp.any(jnp.stack(over)) if over \
             else jnp.asarray(False)

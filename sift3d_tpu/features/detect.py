@@ -59,7 +59,12 @@ def level_cap(plan, o: int, params: SIFT3DParams) -> int:
 
 
 def detect_extrema_levels(dog: dict, plan, params: SIFT3DParams) -> dict:
-    """Stage A: DoG extrema per level -> {(o, s): (zyx, count)}."""
+    """Stage A: DoG extrema per level -> {(o, s): (zyx, count, total)}.
+
+    ``total`` is the unclamped per-level extrema count; ``total > cap``
+    means rows were truncated at the fixed capacity (the reference's
+    keypoint slab is unbounded, immacros.h:199-222, so truncation must be
+    reported, never silent)."""
     out = {}
     for o, s in kp_levels(plan):
         out[(o, s)] = extrema.level_extrema(
@@ -81,7 +86,7 @@ def orient_levels(gpyr: dict, extrema_levels: dict, caps: dict, plan,
     """
     buckets = []
     for o, s in kp_levels(plan):
-        zyx, count = extrema_levels[(o, s)]
+        zyx, count = extrema_levels[(o, s)][:2]
         cap = caps[(o, s)]
         zyx = zyx[:cap]
         count = jnp.minimum(count, cap)

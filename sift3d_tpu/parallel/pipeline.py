@@ -118,7 +118,13 @@ def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
         ("z"/"y"/"x"); non-z choices matter for thin-z geometries such
         as the reference's y-z-plane mammograms (dicom.cpp:494-515).
 
-    Returns (keypoints, descriptors) pytrees with a leading batch axis.
+    Returns (keypoints, descriptors, kp_overflow) pytrees with a leading
+    batch axis; kp_overflow is a (B,) bool flag, True where a level of
+    that volume found more extrema than the per-level contract cap
+    (params.max_kp_per_level clamp), i.e. keypoints were truncated. The
+    reference has no cap at all (slab growth, immacros.h:199-222), so
+    truncation must be reported - the batch analog of the fused
+    single-volume path's overflow flag (api.py).
     """
     from ..features import detect as detect_mod
     from ..features import extrema as extrema_mod
@@ -150,6 +156,11 @@ def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
                 dog_b[(o, s - 1)], dog_b[(o, s)], dog_b[(o, s + 1)])
 
     caps = {k: detect_mod.level_cap(plan, k[0], params) for k in ext}
+    # Per-volume truncation flag: any level's unclamped extrema count
+    # above its contract cap means rows were dropped.
+    kp_overflow = functools.reduce(
+        jnp.logical_or,
+        [ext[k][2] > caps[k] for k in ext])
 
     if n_space <= 1:
         # Pure data parallelism: windowed stages vmapped per volume.
@@ -162,10 +173,12 @@ def batch_detect_describe(vols: jax.Array, plan, params: SIFT3DParams,
             desc = extract_descriptors(gpyr, kp, plan, params)
             return kp, desc
 
-        return jax.vmap(one_volume)(gpyr_b, ext)
+        kp, desc = jax.vmap(one_volume)(gpyr_b, ext)
+        return kp, desc, kp_overflow
 
-    return _windows_sharded(gpyr_b, ext, caps, plan, params, mesh,
-                            shard_dim)
+    kp, desc = _windows_sharded(gpyr_b, ext, caps, plan, params, mesh,
+                                shard_dim)
+    return kp, desc, kp_overflow
 
 
 def _windows_sharded(gpyr_b: dict, ext: dict, caps: dict, plan,
@@ -197,7 +210,7 @@ def _windows_sharded(gpyr_b: dict, ext: dict, caps: dict, plan,
     # --- orientation, level by level, then compact + concatenate ---
     buckets = []
     for o, s in detect_mod.kp_levels(plan):
-        zyx_b, count_b = ext[(o, s)]
+        zyx_b, count_b = ext[(o, s)][:2]
         cap = caps[(o, s)]
         zyx_b = zyx_b[:, :cap]
         count_b = jnp.minimum(count_b, cap)
@@ -277,16 +290,21 @@ def batch_register_pairs(src_vols: jax.Array, ref_vols: jax.Array,
 
     Returns a RegistrationResult pytree with leading batch axis; affine
     A[b] maps ref_vols[b] voxel coords onto src_vols[b] voxel coords.
+    ``result.kp_overflow[b]`` is True where either volume of pair b lost
+    keypoints to the per-level contract cap (see batch_detect_describe).
     """
+    import dataclasses
+
     from ..register.pipeline import register_pair
 
-    _, desc_src = batch_detect_describe(src_vols, plan, params, mesh,
-                                        pipelined=pipelined)
-    _, desc_ref = batch_detect_describe(ref_vols, plan, params, mesh,
-                                        pipelined=pipelined)
+    _, desc_src, ov_src = batch_detect_describe(src_vols, plan, params,
+                                                mesh, pipelined=pipelined)
+    _, desc_ref, ov_ref = batch_detect_describe(ref_vols, plan, params,
+                                                mesh, pipelined=pipelined)
 
     def one_pair(ds, dr):
         return register_pair(ds, dr, units, units, match_params,
                              ransac_params)
 
-    return jax.vmap(one_pair)(desc_src, desc_ref)
+    res = jax.vmap(one_pair)(desc_src, desc_ref)
+    return dataclasses.replace(res, kp_overflow=ov_src | ov_ref)

@@ -107,8 +107,10 @@ def level_extrema_sharded(prev: jax.Array, cur: jax.Array, nxt: jax.Array,
         by the axis size).
       capacity: max keypoints per volume.
 
-    Returns (zyx (B, capacity, 3) i32, count (B,) i32), identical to the
-    unsharded detector (rows in global scan order).
+    Returns (zyx (B, capacity, 3) i32, count (B,) i32, total (B,) i32),
+    identical to the unsharded detector (rows in global scan order);
+    ``total`` is the unclamped extrema count (truncation iff
+    total > capacity), matching features.extrema.level_extrema.
     """
     B, nz, ny, nx = cur.shape
     sd = _DIMS[shard_dim]
@@ -137,8 +139,8 @@ def level_extrema_sharded(prev: jax.Array, cur: jax.Array, nxt: jax.Array,
         # the global top capacity (keys descend with scan order).
         g_vals = jax.lax.all_gather(vals, axis_name, axis=1)   # (B, S, C)
         g_idx = jax.lax.all_gather(idx_g, axis_name, axis=1)
-        count = jnp.minimum(jax.lax.psum(count_l, axis_name),
-                            capacity).astype(jnp.int32)
+        total = jax.lax.psum(count_l, axis_name).astype(jnp.int32)
+        count = jnp.minimum(total, capacity).astype(jnp.int32)
 
         def merge(v, i, cnt):
             mv, pos = jax.lax.top_k(v.reshape(-1), capacity)
@@ -151,12 +153,13 @@ def level_extrema_sharded(prev: jax.Array, cur: jax.Array, nxt: jax.Array,
             keep = (jnp.arange(capacity) < cnt) & (mv > 0)
             return jnp.where(keep[:, None], zyx, 0)
         zyx = jax.vmap(merge)(g_vals, g_idx, count)
-        return zyx, count
+        return zyx, count, total
 
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(*spec),) * 3,
         out_specs=(P(batch_axis_name, None, None),
+                   P(batch_axis_name),
                    P(batch_axis_name)),
         check_vma=False,
     )(prev, cur, nxt)

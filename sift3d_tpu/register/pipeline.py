@@ -33,6 +33,10 @@ class RegistrationResult:
     num_matches: jax.Array  # () i32
     num_inliers: jax.Array  # () i32
     ok: jax.Array           # () bool
+    # True when keypoints were truncated at a fixed capacity upstream of
+    # the descriptors (batched detect path; the reference's keypoint
+    # store is unbounded, immacros.h:199-222, so loss must be surfaced).
+    kp_overflow: jax.Array  # () bool
 
 
 def im2mm(pts: jax.Array, units) -> jax.Array:
@@ -91,7 +95,8 @@ def register_pair(desc_src: Descriptors, desc_ref: Descriptors,
     A_im = mm2im(res.A, src_units, ref_units)
     return RegistrationResult(
         A=A_im, matches=matches, match_src=src_xyz, match_ref=ref_xyz,
-        num_matches=n_match, num_inliers=res.num_inliers, ok=res.ok)
+        num_matches=n_match, num_inliers=res.num_inliers, ok=res.ok,
+        kp_overflow=jnp.zeros((), bool))
 
 
 def register_pair_tps(desc_src: Descriptors, desc_ref: Descriptors,
