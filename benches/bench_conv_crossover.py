@@ -85,10 +85,15 @@ def main():
         if all(q["banded_s"] < q["matmul_s"] for q in rows[i:]):
             crossing = r["n"]
             break
-    print(json.dumps({"metric": "banded_crossover_n", "value": crossing,
-                      "unit": "axis_len",
-                      "current_threshold": conv.BANDED_MIN_N,
-                      "rows": rows}))
+    result = {"metric": "banded_crossover_n", "value": crossing,
+              "unit": "axis_len",
+              "current_threshold": conv.BANDED_MIN_N}
+    from benches.persist import record_last_good
+    record_last_good(result, extra={"rows": rows,
+                                    "taps": int(len(taps)),
+                                    "sizes": sizes})
+    result["rows"] = rows
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

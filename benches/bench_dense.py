@@ -93,8 +93,11 @@ def main():
     for rec in roof:
         print(json.dumps(rec), file=sys.stderr, flush=True)
 
+    checked = False
     if check:
-        _oracle_check(vol, np.asarray(out), n)
+        # Re-materialize the field (the warm-up result was deleted above
+        # to avoid double-buffering 6 GB on the 16 GB chip).
+        checked = _oracle_check(vol, fn, volj, n)
 
     base = BASELINES.get(n)
     result = {
@@ -105,26 +108,54 @@ def main():
     }
     from benches.persist import record_last_good
     record_last_good(result, roofline=roof, extra={
-        "checked_vs_oracle": check,
+        "checked_vs_oracle": checked,
         "times_s": [round(x, 4) for x in times],
     })
     print(json.dumps(result))
 
 
-def _oracle_check(vol, ours, n):
+def _oracle_check(vol, fn, volj, n) -> bool:
+    """Compare the TPU field against the C oracle: a cached golden
+    artifact when one exists for this size (VERDICT r4 #7 - the 512^3
+    C run costs ~52 min, paid once by benches/make_dense_golden.py),
+    else a live oracle run."""
+    import jax
+    import json as _json
+
+    from benches.make_dense_golden import STRIDE, golden_path
+
+    gp = golden_path(n)
+    if os.path.exists(gp):
+        g = np.load(gp, allow_pickle=False)
+        meta = _json.loads(str(g["meta"][0]))
+        out = fn(volj)
+        # Small D2H pulls: the stride-8 subsample (~12 MB) + per-channel
+        # means, never the full 6 GB field.
+        sub = np.asarray(out[:, ::STRIDE, ::STRIDE, ::STRIDE])
+        ch_mean = np.asarray(out.reshape(12, -1).mean(axis=1))
+        del out
+        np.testing.assert_allclose(sub, g["sub"], atol=2e-3)
+        np.testing.assert_allclose(ch_mean, g["ch_mean"], atol=2e-3)
+        print(f"dense field matches the cached C golden (2e-3; "
+              f"subsample stride {meta['stride']}, full-volume channel "
+              f"means; C run {meta['c_seconds']:.0f}s, sha256 "
+              f"{meta['sha256_full'][:12]}...)", file=sys.stderr)
+        return True
     sys.path.insert(0, os.path.join(_REPO, "tests"))
     from oracle import get
     orc = get()
     if orc is None:
         print("oracle unavailable; skipping check", file=sys.stderr)
-        return
+        return False
     t0 = time.perf_counter()
     ref = orc.dense(vol)
     tc = time.perf_counter() - t0
     print(f"C reference dense: {tc:.2f} s = {n ** 3 / tc:.3e} vox/s",
           file=sys.stderr, flush=True)
+    ours = np.asarray(fn(volj))
     np.testing.assert_allclose(ours, ref.reshape(ours.shape), atol=2e-3)
     print("dense field matches the C reference (2e-3)", file=sys.stderr)
+    return True
 
 
 if __name__ == "__main__":

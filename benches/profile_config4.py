@@ -48,24 +48,33 @@ def main():
     def err(*a):
         print(*a, file=sys.stderr, flush=True)
 
-    def tmin(f):
+    def tmin(f, label=""):
+        """Steady-state min-of-reps. ``f`` must END with a small
+        np.asarray fetch - the completion-wait methodology bench.py's
+        headline number uses (a tiny D2H costs one ~26 ms tunnel round
+        trip, negligible vs multi-second stages, and is robust where
+        block_until_ready once returned instantly on this experimental
+        axon platform - observed r5, all-zero profile)."""
         f()   # warm-up (compile)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             f()
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        t = min(ts)
+        assert t > 1e-3, \
+            f"stage {label!r} measured {t:.2e}s - sync is broken"
+        return t
 
     # Full program (the bench.py metric).
     full = jax.jit(lambda s, r: pl.batch_register_pairs(
         s, r, plan, params, mesh))
-    t_full = tmin(lambda: jax.block_until_ready(full(srcj, refj).A))
+    t_full = tmin(lambda: np.asarray(full(srcj, refj).A), "full")
     err(f"full batch_register_pairs:      {t_full:.3f}s")
 
     # One side detect+describe.
     dd = jax.jit(lambda s: pl.batch_detect_describe(s, plan, params, mesh))
-    t_dd = tmin(lambda: jax.block_until_ready(dd(srcj)[1].vec))
+    t_dd = tmin(lambda: np.asarray(dd(srcj)[1].vec[0, 0, :4]), "dd")
     err(f"detect+describe one side:       {t_dd:.3f}s")
 
     # Pyramid (+DoG) only.
@@ -74,7 +83,8 @@ def main():
         g = pl.build_gpyr_batched(scaled, plan, mesh)
         d = pyr_mod.build_dog(g, plan)
         return d[max(d)]
-    t_pyr = tmin(lambda: jax.block_until_ready(jax.jit(pyr_only)(srcj)))
+    pyr_fn = jax.jit(pyr_only)
+    t_pyr = tmin(lambda: np.asarray(pyr_fn(srcj)[0, 0, 0, :4]), "pyr")
     err(f"  pyramid+DoG:                  {t_pyr:.3f}s")
 
     # Pyramid + extrema (no windows).
@@ -93,7 +103,8 @@ def main():
                     p, c, n, params.peak_thresh, _cap))(
                 d[(o, sl - 1)], d[(o, sl)], d[(o, sl + 1)])[0])
         return outs[0]
-    t_ext = tmin(lambda: jax.block_until_ready(jax.jit(thru_extrema)(srcj)))
+    ext_fn = jax.jit(thru_extrema)
+    t_ext = tmin(lambda: np.asarray(ext_fn(srcj)[0, :2]), "extrema")
     err(f"  pyramid+DoG+extrema:          {t_ext:.3f}s")
     err(f"  => windows (orient+descrip):  {t_dd - t_ext:.3f}s")
 
@@ -105,19 +116,27 @@ def main():
     reg = jax.jit(lambda a, b: jax.vmap(
         lambda x, y: register_pair(x, y, (1.0, 1.0, 1.0), (1.0, 1.0, 1.0),
                                    MatchParams(), RansacParams()))(a, b))
-    t_reg = tmin(lambda: jax.block_until_ready(reg(ds, dr).A))
+    t_reg = tmin(lambda: np.asarray(reg(ds, dr).A), "match+ransac")
     err(f"match+RANSAC {B} pairs:           {t_reg:.3f}s")
     err(f"sum 2*dd + reg = {2 * t_dd + t_reg:.3f}s vs full {t_full:.3f}s "
         "(gap = fusion across sides)")
 
-    print(json.dumps({
+    result = {
+        "metric": "config4_stage_profile",
+        "value": round(t_full, 4), "unit": "s/batch",
+        "vs_baseline": None,
+    }
+    stages = {
         "B": B, "backend": jax.default_backend(),
         "full_s": round(t_full, 4), "detect_describe_one_side_s":
         round(t_dd, 4), "pyramid_dog_s": round(t_pyr, 4),
         "thru_extrema_s": round(t_ext, 4),
         "windows_s": round(t_dd - t_ext, 4),
         "match_ransac_s": round(t_reg, 4),
-    }))
+    }
+    from benches.persist import record_last_good
+    record_last_good(result, extra=stages)
+    print(json.dumps(stages))
 
 
 if __name__ == "__main__":
