@@ -163,10 +163,10 @@ def postprocess(raw: jax.Array) -> jax.Array:
 
 def _pallas_vmem_ok(cores, nx: int) -> bool:
     """Whether the Pallas window kernel's scratch fits comfortably in VMEM."""
-    ckz, cky, _ = cores
-    x_pad = -(-nx // 128) * 128
-    win = (ckz + 2) * (cky + 2) * x_pad * 4
-    plane = 9 * cky * x_pad * 4
+    ckz, cky, ckx = cores
+    x_pad = -(-ckx // 128) * 128
+    win = (ckz + 2) * (cky + 2) * (-(-(ckx + 2) // 128) * 128) * 4
+    plane = (16 + 48) * cky * x_pad * 4        # W/T accumulation scratch
     return win + plane < 12 * 1024 * 1024
 
 

@@ -20,11 +20,16 @@ of real dense compute). This kernel keeps the whole computation in native
   same gather-free formulation as ops/geometry.py) are computed as
   (cy, cx) 2D arrays on the VPU;
 - the trilinear x barycentric histogram accumulation
-  (SIFT3D_desc_acc_interp, sift.c:1687-1791) becomes, per window row, a
-  factored one-hot build of W (16, cx) = wz (x) wy and T (48, cx) =
-  wx (x) G followed by one lane-contracted MXU matmul into a running
-  (16, 48) accumulator - the (64, 12) histogram laid out as
-  [hz*4+hy, hx*12+bin], unpacked by a tiny reshape outside the kernel.
+  (SIFT3D_desc_acc_interp, sift.c:1687-1791) becomes, per z-plane, a
+  factored one-hot build of full-plane W (16, cy, cx) = wz (x) wy and
+  T (48, cy, cx) = wx (x) G scratch tensors followed by ONE
+  double-contraction MXU matmul (contracting both window dims at once)
+  into a running (16, 48) accumulator - the (64, 12) histogram laid out
+  as [hz*4+hy, hx*12+bin], unpacked by a tiny reshape outside the
+  kernel. (Round 5: this replaced a per-window-ROW loop of (16, cx) x
+  (48, cx) micro-matmuls - 9.4M sequential ~160 ns iterations for a
+  4096-keypoint bucket, 87% of config 4's descriptor stage; the
+  per-plane contraction removes the row loop entirely.)
 """
 
 from __future__ import annotations
@@ -41,11 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import BARY_EPS, NHIST_PER_DIM
 from .geometry import face_solve_tables, face_tables
 
-_N_PLANE_SCALARS = 9   # vbx vby vbz gb0 gb1 gb2 vt0 vt1 vt2
-
-
-def _descrip_kernel_body(act_ref, info_ref, win_ref, out_ref, plane, *,
-                         cores, units, sigma, rad):
+def _descrip_kernel_body(act_ref, info_ref, win_ref, out_ref, wplane,
+                         tplane, *, cores, units, sigma, rad):
     """One keypoint per grid step; see module docstring."""
     ckz, cky, ckx = cores
     ux, uy, uz = (np.float32(u) for u in units)
@@ -61,10 +63,25 @@ def _descrip_kernel_body(act_ref, info_ref, win_ref, out_ref, plane, *,
     normals, vinv = face_solve_tables()
     faces_idx = face_tables()["idx"]          # (20, 3) i32
 
+    # Tile-aligned accumulation scratch: the flat (16, V) view under the
+    # histogram matmul is only a faithful contiguous view when the
+    # window dims are (8, 128)-tile aligned (verified on silicon:
+    # unaligned ref reshapes silently read pad lanes). Pad columns stay
+    # zero (one zero-fill per keypoint), so they add nothing.
+    cky_p = -(-cky // 8) * 8
+    ckx_p = -(-ckx // 128) * 128
+
     k = pl.program_id(0)
 
     @pl.when(act_ref[k] > 0)
     def _():
+        # Zero the accumulation scratch once per keypoint: per-plane
+        # writes below only touch the (cky, ckx) logical region, and the
+        # pad region must be zero (not VMEM garbage) under the flat
+        # contraction.
+        wplane[...] = jnp.zeros((16, cky_p, ckx_p), jnp.float32)
+        tplane[...] = jnp.zeros((48, cky_p, ckx_p), jnp.float32)
+
         # info column k: [sz, sy, sx, cz, cy, cx, R00..R22] (floats;
         # starts are small integers, exactly representable). Stored
         # TRANSPOSED (15, K) in SMEM: SMEM rows pad to 128 lanes, so the
@@ -171,40 +188,42 @@ def _descrip_kernel_body(act_ref, info_ref, win_ref, out_ref, plane, *,
             inside = ((vbx >= 0) & (vby >= 0) & (vbz >= 0) &
                       (vbx < nh) & (vby < nh) & (vbz < nh))
             gm = mag * inv_s * (ok & inside).astype(jnp.float32)
+            g0 = b0 * gm
+            g1 = b1 * gm
+            g2 = b2 * gm
 
-            plane[0] = vbx
-            plane[1] = vby
-            plane[2] = vbz
-            plane[3] = b0 * gm
-            plane[4] = b1 * gm
-            plane[5] = b2 * gm
-            plane[6] = vt0
-            plane[7] = vt1
-            plane[8] = vt2
+            # Hat-function per-axis trilinear weights (equivalent to the
+            # floor/frac form for in-range coordinates), one full
+            # (cky, ckx) plane per histogram slot.
+            def hats(vb):
+                return [jnp.maximum(1.0 - jnp.abs(vb - np.float32(h)),
+                                    0.0) for h in range(NHIST_PER_DIM)]
+            az = hats(vbz)
+            ay = hats(vby)
+            ax = hats(vbx)
+            for hz in range(4):
+                for hy in range(4):
+                    wplane[hz * 4 + hy, :cky, :ckx] = az[hz] * ay[hy]
+            for b in range(12):
+                fb = np.float32(b)
+                G = (g0 * (vt0 == fb).astype(jnp.float32) +
+                     g1 * (vt1 == fb).astype(jnp.float32) +
+                     g2 * (vt2 == fb).astype(jnp.float32))
+                for hx in range(4):
+                    tplane[hx * 12 + b, :cky, :ckx] = ax[hx] * G
 
-            h4 = jax.lax.broadcasted_iota(
-                jnp.int32, (4, ckx), 0).astype(jnp.float32)
-            b12 = jax.lax.broadcasted_iota(
-                jnp.int32, (12, ckx), 0).astype(jnp.float32)
-
-            def y_body(y, hist):
-                row = lambda i: plane[i, pl.ds(y, 1), :]       # (1, ckx)
-                # Hat-function per-axis trilinear weights (equivalent to
-                # the floor/frac form for in-range coordinates).
-                az = jnp.maximum(1.0 - jnp.abs(row(2) - h4), 0.0)
-                ay = jnp.maximum(1.0 - jnp.abs(row(1) - h4), 0.0)
-                ax = jnp.maximum(1.0 - jnp.abs(row(0) - h4), 0.0)
-                W = jnp.repeat(az, 4, axis=0) * jnp.tile(ay, (4, 1))
-                G = (row(3) * (row(6) == b12).astype(jnp.float32) +
-                     row(4) * (row(7) == b12).astype(jnp.float32) +
-                     row(5) * (row(8) == b12).astype(jnp.float32))
-                T = jnp.repeat(ax, 12, axis=0) * jnp.tile(G, (4, 1))
-                return hist + jax.lax.dot_general(
-                    W, T, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-
-            return jax.lax.fori_loop(0, cky, y_body, hist)
+            # One MXU contraction over the whole plane: flatten the
+            # window dims at the REF level (a contiguous view thanks to
+            # the tile-aligned scratch; Mosaic rejects vector-level
+            # shape casts) and contract (16, V) x (48, V) in a single
+            # matmul. Pad columns are zero in T, contributing nothing.
+            V = cky_p * ckx_p
+            W = wplane.reshape(16, V)[...]
+            T = tplane.reshape(48, V)[...]
+            return hist + jax.lax.dot_general(
+                W, T, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
         hist = jax.lax.fori_loop(
             0, ckz, z_body, jnp.zeros((16, 48), jnp.float32))
@@ -235,7 +254,10 @@ def _descrip_pallas_call(wins, active, info, *, cores, units, sigma, rad,
         out_specs=pl.BlockSpec((1, 16, 48), lambda k: (k, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_N_PLANE_SCALARS, cky, ckx), jnp.float32),
+            pltpu.VMEM((16, -(-cky // 8) * 8, -(-ckx // 128) * 128),
+                       jnp.float32),
+            pltpu.VMEM((48, -(-cky // 8) * 8, -(-ckx // 128) * 128),
+                       jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((K, 16, 48), jnp.float32),
         interpret=interpret,
