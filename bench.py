@@ -147,7 +147,12 @@ def main():
     from sift3d_tpu.utils import roofline
 
     # Static per-level capacity: the batch path's one-program contract.
-    params = SIFT3DParams(max_kp_per_level=64)
+    # Per-octave caps sized from the measured per-level extrema profile
+    # of these pairs (max 155 on octave 0, <=50 deeper; probe r5): a
+    # flat 64 truncated 58/64 pairs (caught by the overflow assert
+    # below), a flat 160+ would pad the deep octaves ~3x.
+    params = SIFT3DParams(max_kp_per_level=192,
+                          max_kp_per_octave=(192, 64, 64, 32))
     plan = pyr_mod.plan_pyramid(SHAPE, (1.0, 1.0, 1.0), params)
     devs = devices_or_die(jax)
     mesh = make_mesh(devs, data=len(devs), space=1)
@@ -168,9 +173,9 @@ def main():
             np.asarray(res.kp_overflow)
 
     A, ok, kp_ov = run()                # warm-up / compile
-    # No silent keypoint loss: the per-level cap (max_kp_per_level=64)
-    # must hold every bench volume's extrema (the reference's keypoint
-    # store is unbounded; a capped run would not be comparable).
+    # No silent keypoint loss: the per-level caps must hold every bench
+    # volume's extrema (the reference's keypoint store is unbounded; a
+    # capped run would not be comparable).
     assert not kp_ov.any(), \
         f"{int(kp_ov.sum())}/{B} pairs truncated keypoints at the " \
         "per-level cap; raise max_kp_per_level"
@@ -193,7 +198,9 @@ def main():
 
     # Roofline: useful bytes/flops of the whole batched program vs chip
     # peaks (per-stage numbers live in benches/bench_kp.py).
-    kp_est = 64.0 * (plan.num_dog_levels - 2)   # capacity-bound estimate
+    from sift3d_tpu.features.detect import kp_levels, level_cap
+    kp_est = float(sum(level_cap(plan, o, params)
+                       for o, _ in kp_levels(plan)))   # capacity bound
     cost = roofline.batch_register_cost(plan, kp_est, 17.0 ** 3, B)
     roof = list(roofline.roofline_report({"batch_register": t},
                                          {"batch_register": cost},

@@ -59,20 +59,25 @@ def main():
            for b in (False, True)}
 
     def tmin(f, reps=5):
+        """Steady-state min-of-reps; f must end with a small np.asarray
+        fetch (block_until_ready once returned instantly on the
+        experimental axon platform, see profile_config4.tmin)."""
         f()
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             f()
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        t = min(ts)
+        assert t > 1e-4, f"measured {t:.2e}s - sync is broken"
+        return t
 
     rows = []
     for n in sizes:
         v = jnp.asarray(np.random.default_rng(0)
                         .standard_normal((n, n, n)).astype(np.float32))
-        t_mm = tmin(lambda: jax.block_until_ready(fns[False](v)))
-        t_bd = tmin(lambda: jax.block_until_ready(fns[True](v)))
+        t_mm = tmin(lambda: np.asarray(fns[False](v)[0, 0, :4]))
+        t_bd = tmin(lambda: np.asarray(fns[True](v)[0, 0, :4]))
         rec = {"n": n, "matmul_s": round(t_mm, 5),
                "banded_s": round(t_bd, 5),
                "banded_speedup": round(t_mm / t_bd, 2)}

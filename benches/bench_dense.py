@@ -3,10 +3,11 @@
 Runs the denseSift3D-equivalent path (smooth/scale -> per-voxel gradient
 -> barycentric splat -> 12-channel Gaussian smoothing -> per-voxel
 postprocess; SURVEY §3.3, reference sift3d/sift.c:2354-2496) on a
-synthetic volume and reports voxels/second. The 12-channel blur at this
-size is the banded-conv showcase: the dense-matmul formulation does
-O(n) MACs/voxel/axis (~25x useful FLOPs at n=512, VERDICT r2 #5); axes
->= ops.conv.BANDED_MIN_N take the O(taps) diagonal path.
+synthetic volume and reports voxels/second. The 12-channel blur rides
+the dense-matmul conv formulation: bench_conv_crossover measured the
+matmul FASTER than the framed-banded path at every size through 512
+on the real chip (see ops.conv.BANDED_MIN_N), so O(n) MACs/voxel/axis
+is the right trade here despite the FLOP count.
 
 Usage: python benches/bench_dense.py [n] [--check]
   n        cube edge (default 512 - the BASELINE.json config-3 size)
@@ -132,7 +133,9 @@ def _oracle_check(vol, fn, volj, n) -> bool:
         # Small D2H pulls: the stride-8 subsample (~12 MB) + per-channel
         # means, never the full 6 GB field.
         sub = np.asarray(out[:, ::STRIDE, ::STRIDE, ::STRIDE])
-        ch_mean = np.asarray(out.reshape(12, -1).mean(axis=1))
+        # In-place axis reduction: reshape(12, -1) relayouts the 6 GB
+        # field and OOMs the 16 GB chip next to the live output.
+        ch_mean = np.asarray(out.mean(axis=(1, 2, 3)))
         del out
         np.testing.assert_allclose(sub, g["sub"], atol=2e-3)
         np.testing.assert_allclose(ch_mean, g["ch_mean"], atol=2e-3)

@@ -51,6 +51,14 @@ class SIFT3DParams:
     # TPU-specific capacity knobs (no reference analog; the reference uses
     # dynamically grown slab allocators, immacros.h:199-222).
     max_kp_per_level: int = 8192
+    # Optional per-OCTAVE keypoint capacities (entry o applies to every
+    # level of octave o; the last entry extends to deeper octaves). Real
+    # volumes concentrate extrema in octave 0 - e.g. the config-4 bench
+    # pairs peak at 155/level on octave 0 but <=50 beyond it - so a flat
+    # cap either truncates octave 0 or pads the deep octaves ~3x. Both
+    # the batched pipeline and the single-volume driver report overflow
+    # against whichever cap is in force, so truncation stays loud.
+    max_kp_per_octave: tuple[int, ...] | None = None
     # Optimistic per-level bucket capacity for the single-program
     # detect+extract path (api.Sift3D.detect_and_extract): the fused
     # program runs at this static cap and falls back to the exact

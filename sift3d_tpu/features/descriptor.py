@@ -246,10 +246,12 @@ def extract_descriptors(gpyr: dict, kp: Keypoints, plan,
     s_start = plan.first_level + 1
     s_end = plan.last_dog_level - 1
 
+    from .detect import level_cap as _level_cap
+
     for o in range(plan.num_octaves):
         units_o = plan.octave_units(o)
         for s in range(s_start, s_end + 1):
-            cap = min(params.max_kp_per_level, K)
+            cap = min(_level_cap(plan, o, params), K)
             if level_caps is not None:
                 cap = min(cap, level_caps[(o, s)])
             if cap <= 0:
@@ -301,10 +303,11 @@ def extract_raw_descriptors(vol: jax.Array, kp: Keypoints,
     valid = kp.valid_mask()
     s_start = plan.first_level + 1
     s_end = plan.last_dog_level - 1
-    cap = min(params.max_kp_per_level, K)
+    from .detect import level_cap as _level_cap
 
     for o in range(plan.num_octaves):
         factor = np.float32(2.0 ** o)
+        cap = min(_level_cap(plan, o, params), K)
         for s in range(s_start, s_end + 1):
             sel = valid & (kp.o == o) & (kp.s == s)
             pos = jnp.cumsum(sel.astype(jnp.int32)) - 1

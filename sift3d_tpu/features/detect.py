@@ -51,11 +51,16 @@ def kp_levels(plan):
 
 
 def level_cap(plan, o: int, params: SIFT3DParams) -> int:
-    """Static extrema capacity for one level: the user cap clamped to the
-    interior voxel count (extrema live in [1, n-2]^3)."""
+    """Static extrema capacity for one level: the user cap (per-octave
+    when ``max_kp_per_octave`` is set) clamped to the interior voxel
+    count (extrema live in [1, n-2]^3)."""
     nx, ny, nz = plan.octave_dims(o)
     interior = max((nx - 2), 1) * max((ny - 2), 1) * max((nz - 2), 1)
-    return min(params.max_kp_per_level, interior)
+    cap = params.max_kp_per_level
+    if params.max_kp_per_octave:
+        per_o = params.max_kp_per_octave
+        cap = min(cap, per_o[min(o, len(per_o) - 1)])
+    return min(cap, interior)
 
 
 def detect_extrema_levels(dog: dict, plan, params: SIFT3DParams) -> dict:
@@ -93,7 +98,7 @@ def orient_levels(gpyr: dict, extrema_levels: dict, caps: dict, plan,
         geom = plan.gpyr_level(o, s)
         R, valid = orientation.assign_orientations_level(
             gpyr[(o, s)], zyx, geom.scale, plan.octave_units(o),
-            params.corner_thresh)
+            params.corner_thresh, count=count)
         buckets.append(_level_keypoints(
             zyx, count, R, valid, o, s, geom.scale, cap))
     return concatenate(buckets)

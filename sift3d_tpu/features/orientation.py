@@ -90,7 +90,10 @@ def _window_terms(level, zyx, radii, cores, units, rad, sigma):
 def assign_orientations_level(level: jax.Array, zyx: jax.Array,
                               sd: float, units: tuple[float, float, float],
                               corner_thresh: float, chunk: int = 128,
-                              return_conf: bool = False):
+                              return_conf: bool = False,
+                              count: jax.Array | None = None,
+                              use_pallas: bool | None = None,
+                              interpret: bool = False):
     """Assign orientations to all keypoints of one level.
 
     Args:
@@ -99,6 +102,12 @@ def assign_orientations_level(level: jax.Array, zyx: jax.Array,
       sd: the level's absolute scale (shared by every keypoint on it).
       units: level units (ux, uy, uz).
       corner_thresh: rejection threshold on the corner score.
+      count: optional () i32 - rows >= count are bucket padding; the
+        Pallas path skips their windows entirely (they return invalid).
+      use_pallas: select the Pallas window kernel (ops/pallas_orient.py);
+        default on TPU when the window block fits VMEM. The XLA path
+        accumulates the structure tensor in f64 where x64 is on; the
+        Pallas path is f32 (like every TPU bench configuration).
 
     Returns:
       R: (K, 3, 3) float32 rotation matrices.
@@ -111,21 +120,43 @@ def assign_orientations_level(level: jax.Array, zyx: jax.Array,
     Rx, Ry, Rz = radii
     cores = (window_extent(Rz, nz, True), window_extent(Ry, ny, True),
              window_extent(Rx, nx, True))
-
-    def one(row):
-        return _window_terms(level, row, (Rz, Ry, Rx), cores, units, rad,
-                             sigma)
-
     K = zyx.shape[0]
-    chunk = min(chunk, K)
-    pad_k = (-K) % chunk
-    zyx_p = jnp.concatenate(
-        [zyx, jnp.ones((pad_k, 3), zyx.dtype)])
-    A6, vd = jax.lax.map(jax.vmap(one), zyx_p.reshape(-1, chunk, 3))
-    A6 = A6.reshape(-1, 6)[:K]
-    vd = vd.reshape(-1, 3)[:K]
+
+    if use_pallas is None:
+        import os
+
+        from ..ops.pallas_orient import orient_vmem_ok
+        # Default OFF: measured on the chip (benches/profile_windows.py,
+        # B=64 config-4 batch), the XLA gather path runs the orientation
+        # stage in 0.325 s vs 0.791 s for the Pallas kernel - the
+        # 9-plane scratch read-modify-write per z-step costs more than
+        # XLA's chunked fused reductions. Opt in to the kernel with
+        # SIFT3D_TPU_PALLAS_ORIENT=1 (it stays interpret-tested).
+        use_pallas = (jax.default_backend() == "tpu" and
+                      orient_vmem_ok(cores) and
+                      bool(os.environ.get("SIFT3D_TPU_PALLAS_ORIENT")))
+    if use_pallas or interpret:
+        from ..ops.pallas_orient import orient_terms_pallas
+        A6, vd = orient_terms_pallas(
+            level, zyx, K if count is None else count,
+            (Rz, Ry, Rx), cores, units, float(sigma), float(rad),
+            interpret=interpret)
+    else:
+        def one(row):
+            return _window_terms(level, row, (Rz, Ry, Rx), cores, units,
+                                 rad, sigma)
+
+        chunk = min(chunk, K)
+        pad_k = (-K) % chunk
+        zyx_p = jnp.concatenate(
+            [zyx, jnp.ones((pad_k, 3), zyx.dtype)])
+        A6, vd = jax.lax.map(jax.vmap(one), zyx_p.reshape(-1, chunk, 3))
+        A6 = A6.reshape(-1, 6)[:K]
+        vd = vd.reshape(-1, 3)[:K]
     R, valid, conf = orientations_from_tensor(A6, vd, corner_thresh,
                                               return_conf=True)
+    if count is not None:
+        valid = valid & (jnp.arange(K) < count)
     return (R, valid, conf) if return_conf else (R, valid)
 
 

@@ -120,11 +120,17 @@ def conv_axis(vol: jax.Array, W: jax.Array | np.ndarray, axis: int) -> jax.Array
 
 
 # Axis length above which the framed (banded-tile) formulation replaces
-# the dense matmul. The matmul does O(n) MACs/voxel/axis; at n = 512 that
-# is ~25x the useful FLOPs and falls off the HBM roofline (VERDICT r2 #5).
-# Kept above 256 so the golden/bit-check sizes stay on the matmul path
-# with its established accumulation behavior.
-BANDED_MIN_N = 257
+# the dense matmul. MEASURED on the tpu-v5e chip (benches/
+# bench_conv_crossover.py, git 4de0e81+, 11-tap sigma=1.6 filter, 3-axis
+# pass, min-of-5): the dense matmul wins at EVERY tested size - banded
+# speedup 1.00x @128, 0.97x @192, 0.94x @256, 0.57x @384, 0.47x @512 -
+# the MXU absorbs the O(n) MACs/voxel below the HBM floor while the
+# framed path pays real frame-gather/pad traffic. (Round 2's "25x wasted
+# FLOPs at n=512" reasoning was FLOP-counting; the hardware disagrees.)
+# The sentinel routes everything through the matmul; the framed path
+# stays available via conv_axis_banded / apply_banded_matrix and is
+# exercised by tests (test_conv_pyramid monkeypatches this threshold).
+BANDED_MIN_N = 10 ** 9
 
 # Output rows per banded tile: one MXU-sublane-aligned block. Each tile
 # issues (FRAME_TILE + 2H) MACs/output voxel on the MXU instead of the

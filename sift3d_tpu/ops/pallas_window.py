@@ -220,10 +220,17 @@ def _descrip_kernel_body(act_ref, info_ref, win_ref, out_ref, wplane,
             V = cky_p * ckx_p
             W = wplane.reshape(16, V)[...]
             T = tplane.reshape(48, V)[...]
+            # DEFAULT (single-pass bf16 inputs, f32 accumulation; Mosaic
+            # lowers only DEFAULT/HIGHEST) instead of HIGHEST's 6 passes:
+            # all contraction terms are nonnegative (hat weights x
+            # weighted magnitudes), so the ~2^-8 input rounding stays a
+            # ~0.4% relative error of each histogram cell, inside the
+            # 2e-3-absolute oracle contract. Parity is asserted on
+            # silicon every bench.py run (pallas-vs-xla <= 2e-3 gate).
             return hist + jax.lax.dot_general(
                 W, T, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=jax.lax.Precision.DEFAULT)
 
         hist = jax.lax.fori_loop(
             0, ckz, z_body, jnp.zeros((16, 48), jnp.float32))

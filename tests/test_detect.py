@@ -55,3 +55,34 @@ def test_detect_orthonormal_R():
     # Keypoints in bounds at base octave
     factor = 2.0 ** arr[:, 3]
     assert (arr[:, 0] * factor < 32).all() and (arr[:, 0] >= 0).all()
+
+
+def test_per_octave_caps():
+    """max_kp_per_octave bounds each octave's bucket (last entry extends
+    to deeper octaves) and, when ample, changes nothing vs a flat cap."""
+    from sift3d_tpu import pyramid as pyr_mod
+    from sift3d_tpu.features.detect import level_cap
+
+    params = SIFT3DParams(max_kp_per_level=512,
+                          max_kp_per_octave=(128, 64, 16))
+    plan = pyr_mod.plan_pyramid((64, 64, 64), (1., 1., 1.), params)
+    assert level_cap(plan, 0, params) == 128
+    assert level_cap(plan, 1, params) == 64
+    assert level_cap(plan, 2, params) == 16
+    assert level_cap(plan, 3, params) == 16       # last entry extends
+    # Still clamped by the interior voxel count and the flat cap.
+    small = SIFT3DParams(max_kp_per_level=4, max_kp_per_octave=(128,))
+    assert level_cap(plan, 0, small) == 4
+
+    vol = make_blob_volume((32, 32, 32), seed=3)
+    flat = SIFT3DParams(max_kp_per_level=512)
+    per_o = SIFT3DParams(max_kp_per_level=512,
+                         max_kp_per_octave=(256, 128, 64))
+    kp_flat = detect_keypoints(vol, (1., 1., 1.), flat)[0]
+    kp_po = detect_keypoints(vol, (1., 1., 1.), per_o)[0]
+    n1, n2 = int(kp_flat.count), int(kp_po.count)
+    assert n1 == n2 and n1 > 0
+    for f in ("x", "y", "z", "o", "s"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kp_flat, f))[:n1],
+            np.asarray(getattr(kp_po, f))[:n1])
